@@ -1,0 +1,226 @@
+"""Typed configuration system with named presets.
+
+Replaces the reference's single large argparse namespace in
+``gan_lab/config.py`` (SURVEY.md 2.2): a config fully determines dataset,
+resolution schedule, loss, penalty, optimizer, EMA, and sampling behavior.
+The five named presets correspond one-to-one to the judged configs in
+BASELINE.json lines 6-12.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def res_to_log2(res: int) -> int:
+    lg = int(math.log2(res))
+    if 2 ** lg != res or res < 4:
+        raise ValueError(f"resolution must be a power of two >= 4, got {res}")
+    return lg
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters shared by the G/D pairs."""
+
+    model: str = "stylegan"            # 'resnetgan' | 'progan' | 'stylegan'
+    resolution: int = 256              # final output resolution
+    img_channels: int = 3
+    latent_dim: int = 512              # z dim (reference default 512)
+    fmap_base: int = 8192              # channel-count scale (ProGAN table 2)
+    fmap_max: int = 512
+    fmap_min: int = 1
+    # StyleGAN-only:
+    mapping_layers: int = 8
+    mapping_lr_mult: float = 0.01
+    style_mixing_prob: float = 0.9
+    truncation_psi: float = 0.7
+    truncation_cutoff: int = 8         # apply truncation to layers < cutoff
+    w_avg_beta: float = 0.995
+    # D-only:
+    mbstd_group_size: int | None = None  # None = whole per-device batch
+    # ResNet-GAN only:
+    base_channels: int = 128
+
+    def nf(self, stage: int) -> int:
+        """Feature-map count at resolution 2**stage (ProGAN channel rule)."""
+        return int(min(max(self.fmap_base // (2 ** stage), self.fmap_min),
+                       self.fmap_max))
+
+    @property
+    def res_log2(self) -> int:
+        return res_to_log2(self.resolution)
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    loss: str = "nonsaturating"        # 'wgan'|'wgan-gp'|'nonsaturating'|'minimax'
+    penalty: str = "r1"                # 'wgan-gp' | 'r1' | 'none'
+    penalty_weight: float = 10.0       # lambda (wgan-gp) or gamma (r1)
+    drift_weight: float = 1e-3         # ProGAN eps_drift; 0 disables
+    penalty_every: int = 1             # lazy regularization interval (steps)
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    lr_g: float = 1e-3
+    lr_d: float = 1e-3
+    beta1: float = 0.0
+    beta2: float = 0.99
+    eps: float = 1e-8
+    ema_beta: float = 0.999            # generator EMA decay
+
+
+@dataclass(frozen=True)
+class ScheduleConfig:
+    """Progressive-growing schedule (ProGAN sec. 3; SURVEY.md 3.3).
+
+    Resolutions run 2**start_res_log2 .. 2**res_log2. Each transition has a
+    fade phase (alpha 0->1 over ``fade_kimg`` thousand images) followed by a
+    stabilize phase (``stabilize_kimg``). ``batch_schedule`` maps resolution
+    to per-*device* batch size.
+    """
+
+    progressive: bool = True
+    start_res: int = 4
+    fade_kimg: float = 600.0
+    stabilize_kimg: float = 600.0
+    total_kimg: float = 12000.0        # cap on total training length
+    batch_schedule: dict[int, int] = field(default_factory=lambda: {
+        4: 16, 8: 16, 16: 16, 32: 16, 64: 16, 128: 8, 256: 8, 512: 4, 1024: 4,
+    })
+    batch_default: int = 16
+
+    def batch_for(self, res: int) -> int:
+        return self.batch_schedule.get(res, self.batch_default)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"         # 'synthetic'|'cifar10'|'image_folder'|'tfrecords'
+    data_dir: str | None = None
+    hflip: bool = True
+    num_workers: int = 8
+    prefetch: int = 2
+    shuffle_buffer: int = 4096
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    seed: int = 0
+    total_steps: int | None = None     # overrides schedule length if set
+    log_every: int = 100
+    sample_every: int = 1000
+    checkpoint_every: int = 2000
+    checkpoint_dir: str = "checkpoints"
+    sample_dir: str = "samples"
+    keep_checkpoints: int = 3
+    num_sample_images: int = 16
+    profile: bool = False              # jax.profiler trace around a few steps
+    compute_dtype: str = "bfloat16"    # conv/matmul activation dtype on TPU
+    data_axis: str = "data"            # mesh axis name for DP
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    schedule: ScheduleConfig = field(default_factory=ScheduleConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    def replace(self, **sections: Any) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+
+def _preset_resnetgan_cifar10() -> Config:
+    """BASELINE.json config 1: ResNet GAN, CIFAR-10 32x32, WGAN-GP."""
+    return Config(
+        model=ModelConfig(model="resnetgan", resolution=32, latent_dim=128,
+                          base_channels=128),
+        loss=LossConfig(loss="wgan-gp", penalty="wgan-gp",
+                        penalty_weight=10.0, drift_weight=0.0),
+        optim=OptimConfig(lr_g=2e-4, lr_d=2e-4, beta1=0.0, beta2=0.9,
+                          ema_beta=0.999),
+        schedule=ScheduleConfig(progressive=False, start_res=32,
+                                batch_schedule={32: 64}),
+        data=DataConfig(dataset="cifar10"),
+    )
+
+
+def _preset_progan64() -> Config:
+    """BASELINE.json config 2: ProGAN 64x64 fixed-res, R1 + G-EMA."""
+    return Config(
+        model=ModelConfig(model="progan", resolution=64),
+        loss=LossConfig(loss="nonsaturating", penalty="r1",
+                        penalty_weight=10.0, drift_weight=0.0),
+        schedule=ScheduleConfig(progressive=False, start_res=64),
+    )
+
+
+def _preset_progan128() -> Config:
+    """BASELINE.json config 3: ProGAN 128x128 full progressive schedule."""
+    return Config(
+        model=ModelConfig(model="progan", resolution=128),
+        loss=LossConfig(loss="wgan-gp", penalty="wgan-gp",
+                        penalty_weight=10.0, drift_weight=1e-3),
+        schedule=ScheduleConfig(progressive=True, start_res=4),
+    )
+
+
+def _preset_stylegan256() -> Config:
+    """BASELINE.json config 4: StyleGAN 256^2 CelebA-HQ (the judged bench)."""
+    return Config(
+        model=ModelConfig(model="stylegan", resolution=256),
+        loss=LossConfig(loss="nonsaturating", penalty="r1",
+                        penalty_weight=10.0, drift_weight=0.0),
+        schedule=ScheduleConfig(progressive=True, start_res=8),
+    )
+
+
+def _preset_stylegan1024() -> Config:
+    """BASELINE.json config 5: StyleGAN 1024^2 FFHQ, pod-slice DP."""
+    return Config(
+        model=ModelConfig(model="stylegan", resolution=1024),
+        loss=LossConfig(loss="nonsaturating", penalty="r1",
+                        penalty_weight=10.0, drift_weight=0.0),
+        schedule=ScheduleConfig(progressive=True, start_res=8,
+                                total_kimg=25000.0),
+    )
+
+
+PRESETS = {
+    "resnetgan-cifar10": _preset_resnetgan_cifar10,
+    "progan-64": _preset_progan64,
+    "progan-128": _preset_progan128,
+    "stylegan-256": _preset_stylegan256,
+    "stylegan-1024": _preset_stylegan1024,
+}
+
+
+def get_config(preset: str = "stylegan-256", **overrides: Any) -> Config:
+    """Build a config from a named preset, with dotted-key overrides.
+
+    Overrides use section-dotted names, e.g.
+    ``get_config('stylegan-256', **{'optim.lr_g': 2e-3, 'run.seed': 1})``.
+    """
+    if preset not in PRESETS:
+        raise KeyError(f"unknown preset {preset!r}; have {sorted(PRESETS)}")
+    cfg = PRESETS[preset]()
+    if not overrides:
+        return cfg
+    sections: dict[str, dict[str, Any]] = {}
+    for key, value in overrides.items():
+        if "." not in key:
+            raise KeyError(f"override {key!r} must be 'section.field'")
+        sec, fld = key.split(".", 1)
+        sections.setdefault(sec, {})[fld] = value
+    updates = {}
+    for sec, fields in sections.items():
+        current = getattr(cfg, sec)
+        updates[sec] = dataclasses.replace(current, **fields)
+    return cfg.replace(**updates)

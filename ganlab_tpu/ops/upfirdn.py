@@ -1,0 +1,116 @@
+"""FIR blur and fused resampling ops (upfirdn-style), NHWC.
+
+ProGAN/StyleGAN use nearest-neighbour 2x upsampling and 2x average-pool
+downsampling; StyleGAN additionally low-pass filters with a separable
+binomial [1,2,1] kernel after each upsample (G) and before each downsample
+(D) (Karras et al. 2018 app. C). The reference composes these from
+``F.interpolate`` / ``avg_pool2d`` and a depthwise blur conv
+(SURVEY.md 2.1).
+
+TPU-native design: the fused paths express upsample+blur as ONE depthwise
+transposed convolution and blur+downsample as ONE strided depthwise
+convolution, so each is a single HBM pass instead of two. Depthwise convs of
+tiny kernels are VPU work; XLA fuses the surrounding elementwise ops into
+them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+CONV_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def binomial_kernel(taps=(1.0, 2.0, 1.0)) -> np.ndarray:
+    """Normalized separable 2D FIR kernel from 1D taps, shape (k, k)."""
+    t = np.asarray(taps, dtype=np.float32)
+    k = np.outer(t, t)
+    return k / k.sum()
+
+
+def _depthwise(kernel_2d: np.ndarray, channels: int, dtype) -> jax.Array:
+    """(k, k) -> HWIO depthwise filter (k, k, 1, channels) for group conv."""
+    k = jnp.asarray(kernel_2d, dtype=dtype)
+    return jnp.tile(k[:, :, None, None], (1, 1, 1, channels))
+
+
+def blur2d(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
+    """Depthwise FIR blur, SAME padding. x: (N, H, W, C)."""
+    c = x.shape[-1]
+    filt = _depthwise(binomial_kernel(taps), c, x.dtype)
+    return lax.conv_general_dilated(
+        x, filt, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=CONV_DIMS, feature_group_count=c,
+    )
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x upsampling (ProGAN G path)."""
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def downsample_avg_2x(x: jax.Array) -> jax.Array:
+    """2x2 average-pool downsampling (ProGAN D path)."""
+    return lax.reduce_window(
+        x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) * jnp.asarray(0.25, x.dtype)
+
+
+def upsample_blur_2x(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
+    """Fused nearest-2x-upsample + FIR blur in one transposed depthwise conv.
+
+    Equivalent to ``blur2d(upsample_nearest_2x(x))`` (parity-tested): nearest
+    upsampling is zero-insertion convolved with the box [1,1]; composing box
+    and blur taps gives one kernel applied by a stride-2 transposed conv.
+    """
+    t = np.asarray(taps, dtype=np.float32)
+    # nearest-up = zero-stuff * box([1,1]);  then blur(t)  =>  t (*) [1,1]
+    t2 = np.convolve(t, [1.0, 1.0])
+    k2 = np.outer(t2, t2)
+    k2 = k2 / (t.sum() ** 2)  # blur kernel is normalized; box is not
+    c = x.shape[-1]
+    filt = _depthwise(k2, c, x.dtype)
+    kh = k2.shape[0]
+    # Zero-stuffed (lhs-dilated) conv with SAME-style padding chosen so the
+    # output is exactly (2H, 2W) and aligns with blur(nearest_up(x)).
+    pad_lo = (kh - 1) // 2
+    pad_hi = kh - 1 - pad_lo
+    return lax.conv_general_dilated(
+        x, filt,
+        window_strides=(1, 1),
+        padding=[(pad_lo + 1, pad_hi), (pad_lo + 1, pad_hi)],
+        lhs_dilation=(2, 2),
+        dimension_numbers=CONV_DIMS,
+        feature_group_count=c,
+    )
+
+
+def blur_downsample_2x(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
+    """Fused FIR blur + 2x average-pool in one strided depthwise conv.
+
+    Equivalent to ``downsample_avg_2x(blur2d(x))`` (parity-tested): the
+    average pool is a stride-2 conv with box([1,1])/2 per axis; composing
+    gives one stride-2 kernel.
+    """
+    t = np.asarray(taps, dtype=np.float32)
+    t2 = np.convolve(t, [0.5, 0.5])
+    k2 = np.outer(t2, t2)
+    k2 = k2 / (t.sum() ** 2)
+    c = x.shape[-1]
+    filt = _depthwise(k2, c, x.dtype)
+    kh = k2.shape[0]
+    pad_lo = (kh - 2) // 2
+    pad_hi = kh - 2 - pad_lo
+    return lax.conv_general_dilated(
+        x, filt,
+        window_strides=(2, 2),
+        padding=[(pad_lo, pad_hi), (pad_lo, pad_hi)],
+        dimension_numbers=CONV_DIMS,
+        feature_group_count=c,
+    )
