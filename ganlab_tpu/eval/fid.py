@@ -1,0 +1,147 @@
+"""Frechet Inception Distance (Heusel et al. 2017).
+
+FID(r, f) = ||mu_r - mu_f||^2 + Tr(S_r + S_f - 2 sqrtm(S_r S_f))
+
+computed over pool3 features. Extractor selection:
+``GANLAB_INCEPTION_WEIGHTS`` (torch state_dict path) -> pretrained
+InceptionV3 port; otherwise a deterministic random-feature CNN (relative
+trends only — this container has no network to fetch real weights).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+WEIGHTS_ENV = "GANLAB_INCEPTION_WEIGHTS"
+
+
+def compute_statistics(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(N, D) features -> (mu (D,), sigma (D, D)) with unbiased covariance."""
+    feats = np.asarray(features, np.float64)
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Standard FID formula with the usual eps-regularized sqrtm."""
+    from scipy import linalg
+
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    sigma1 = np.atleast_2d(np.asarray(sigma1, np.float64))
+    sigma2 = np.atleast_2d(np.asarray(sigma2, np.float64))
+
+    diff = mu1 - mu2
+    covmean = linalg.sqrtm(sigma1 @ sigma2)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * np.trace(covmean))
+
+
+def compute_fid(real_features, fake_features) -> float:
+    mu_r, s_r = compute_statistics(real_features)
+    mu_f, s_f = compute_statistics(fake_features)
+    return frechet_distance(mu_r, s_r, mu_f, s_f)
+
+
+class RandomConvExtractor:
+    """Deterministic random-weight CNN features (for tests and as a
+    weights-free relative metric). 4 stride-2 conv stages + global mean/max
+    pooling -> ``dim`` features."""
+
+    name = "random_conv"
+
+    def __init__(self, dim: int = 256, seed: int = 0, batch: int = 256):
+        self.dim = dim
+        self._batch = batch
+        rng = np.random.default_rng(seed)
+        chans = [3, 32, 64, 128, dim // 2]
+        self._ws = [
+            jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(
+                np.float32) * np.sqrt(2.0 / (9 * cin)))
+            for cin, cout in zip(chans[:-1], chans[1:])
+        ]
+
+        def features(x):
+            for w in self._ws:
+                x = lax.conv_general_dilated(
+                    x, w, (2, 2), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                x = jnp.maximum(x, 0.2 * x)
+            return jnp.concatenate(
+                [jnp.mean(x, axis=(1, 2)), jnp.max(x, axis=(1, 2))], axis=-1)
+
+        self._fn = jax.jit(features)
+
+    def __call__(self, images) -> np.ndarray:
+        out = []
+        for i in range(0, images.shape[0], self._batch):
+            x = jnp.asarray(images[i:i + self._batch], jnp.float32)
+            out.append(np.asarray(self._fn(x)))
+        return np.concatenate(out, axis=0)
+
+
+def get_extractor(weights_path: str | None = None):
+    """Pretrained Inception if weights are available, else random features."""
+    path = weights_path or os.environ.get(WEIGHTS_ENV)
+    if path and os.path.exists(path):
+        from ganlab_tpu.eval.inception import InceptionExtractor
+
+        return InceptionExtractor(weights_path=path)
+    return RandomConvExtractor()
+
+
+def evaluate_checkpoint_fid(cfg, workdir: str, num_samples: int = 10000,
+                            extractor=None, source=None,
+                            batch: int = 64) -> float:
+    """FID between G-EMA samples from the latest checkpoint and the dataset."""
+    from ganlab_tpu.data import make_source
+    from ganlab_tpu.train.checkpoint import CheckpointManager
+    from ganlab_tpu.train.state import create_train_state
+    from ganlab_tpu.train.steps import build_sample_fn
+    from ganlab_tpu.utils import gen_latents
+
+    extractor = extractor or get_extractor()
+    if not getattr(extractor, "pretrained", False):
+        print("WARNING: no Inception weights "
+              f"(set ${WEIGHTS_ENV}); FID uses random features — "
+              "valid for relative comparison only", flush=True)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(cfg.run.seed))
+    ckpt = CheckpointManager(os.path.join(workdir, cfg.run.checkpoint_dir))
+    restored = ckpt.restore(state)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {workdir}")
+    state = restored
+
+    source = source or make_source(cfg.data, cfg.model.resolution,
+                                   seed=cfg.run.seed + 99)
+    sample = jax.jit(build_sample_fn(cfg, cfg.model.res_log2))
+    key = jax.random.PRNGKey(cfg.run.seed + 7)
+
+    fake_feats, real_feats = [], []
+    done = 0
+    while done < num_samples:
+        b = min(batch, num_samples - done)
+        key, kz, kn = jax.random.split(key, 3)
+        z = gen_latents(kz, b, cfg.model.latent_dim)
+        fake = sample(state.params_ema, state.w_avg, z, kn,
+                      cfg.model.truncation_psi, 1.0)
+        fake_feats.append(extractor(np.asarray(fake)))
+        real_u8 = source.batch(b, cfg.model.resolution)
+        real = real_u8.astype(np.float32) / 127.5 - 1.0
+        real_feats.append(extractor(real))
+        done += b
+
+    ckpt.close()
+    return compute_fid(np.concatenate(real_feats),
+                       np.concatenate(fake_feats))

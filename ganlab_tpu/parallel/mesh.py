@@ -1,0 +1,67 @@
+"""Device mesh + shard_map wrapping for the data-parallel train step."""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed() -> None:
+    """Multi-host init (DCN); no-op when running single-process.
+
+    On a pod slice each host calls this before touching devices; JAX wires
+    the coordinator from TPU environment metadata.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    try:
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        pass  # single-process run (tests / one chip): nothing to do
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None,
+              axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over all devices (ICI within a slice)."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devs, (axis,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch sharded along the data axis (leading dim)."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(batch, sharding)
+
+
+def make_parallel_step(step: Callable, mesh: Mesh,
+                       axis: str = "data") -> Callable:
+    """shard_map + jit the per-device step built with axis_name=axis.
+
+    State is replicated (P()); the image batch is sharded on its leading
+    dimension. The step's internal pmean keeps the returned state
+    replica-identical, so outputs are declared replicated. check_vma=False
+    because the replication invariant is established by the pmean calls,
+    which the static checker cannot see through optax internals.
+    """
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_single_step(step: Callable) -> Callable:
+    """jit for the no-mesh (single device) path."""
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,51 @@
+"""Crash-safe checkpoint/resume via orbax (SURVEY.md 5).
+
+The reference ``torch.save``s G/D/G-EMA/optimizers + schedule position
+(SURVEY.md 2.2). Here the whole ``TrainState`` pytree — including the PRNG
+key and the shown-image counter that *derives* the schedule position — is
+one orbax item, saved asynchronously with keep-last-k retention, so resume
+is bitwise-exact (tested in test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from ganlab_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    """Thin wrapper over orbax CheckpointManager for the TrainState."""
+
+    def __init__(self, directory: str, keep: int = 3):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep, create=True, enable_async_checkpointing=True)
+        self._mgr = ocp.CheckpointManager(self._dir, options=options)
+
+    def save(self, step: int, state: TrainState) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore(self, state_like: TrainState,
+                step: int | None = None) -> TrainState | None:
+        """Restore the latest (or a given) checkpoint into the structure of
+        ``state_like``; returns None when no checkpoint exists."""
+        target = step if step is not None else self._mgr.latest_step()
+        if target is None:
+            return None
+        return self._mgr.restore(
+            target, args=ocp.args.StandardRestore(state_like))
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,170 @@
+"""Host-side training driver (the reference's ``train.py`` loop, SURVEY.md 3.1).
+
+Cold start: config -> (optional) distributed init -> mesh -> data source ->
+state init or orbax restore -> per-phase jitted step loop. Control crosses
+host->device once per step; batches cross as uint8 via the background
+prefetcher. Progressive growth = switching to the next phase's compiled step
+over the unchanged state pytree (SURVEY.md 3.3).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+import numpy as np
+
+from ganlab_tpu.config import Config
+from ganlab_tpu.data import Prefetcher, make_source
+from ganlab_tpu.parallel import (
+    make_mesh,
+    make_parallel_step,
+    make_single_step,
+    replicate,
+    shard_batch,
+)
+from ganlab_tpu.train.checkpoint import CheckpointManager
+from ganlab_tpu.train.schedule import build_phases, phase_at
+from ganlab_tpu.train.state import create_train_state
+from ganlab_tpu.train.steps import build_sample_fn, build_train_step
+from ganlab_tpu.utils import MetricLogger, gen_latents, save_image_grid
+
+
+class Trainer:
+    """Owns state, schedule, compiled steps, IO. One instance per run."""
+
+    def __init__(self, cfg: Config, workdir: str = ".",
+                 use_mesh: bool | None = None, source=None):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.phases = build_phases(cfg.schedule, cfg.model)
+        n_dev = jax.device_count()
+        if use_mesh is None:
+            use_mesh = n_dev > 1
+        self.mesh = make_mesh() if use_mesh else None
+        self.n_dev = n_dev if use_mesh else 1
+
+        self.ckpt = CheckpointManager(
+            os.path.join(workdir, cfg.run.checkpoint_dir),
+            keep=cfg.run.keep_checkpoints)
+        self.logger = MetricLogger(workdir)
+
+        state = create_train_state(cfg, jax.random.PRNGKey(cfg.run.seed))
+        restored = self.ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(state.step)}", flush=True)
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        self.state = state
+
+        # Lazy: sampling/eval from a checkpoint must not require the dataset.
+        self._source = source
+        self._steps: dict[tuple, Callable] = {}
+        self._samplers: dict[int, Callable] = {}
+
+    @property
+    def source(self):
+        if self._source is None:
+            self._source = make_source(self.cfg.data,
+                                       self.cfg.model.resolution,
+                                       seed=self.cfg.run.seed)
+        return self._source
+
+    # ------------------------------------------------------------------
+    def _step_fn(self, phase) -> Callable:
+        key = (phase.res_log2, phase.kind, phase.start_img, phase.end_img)
+        if key not in self._steps:
+            axis = self.cfg.run.data_axis if self.mesh is not None else None
+            raw = build_train_step(self.cfg, phase, axis_name=axis)
+            self._steps[key] = (make_parallel_step(raw, self.mesh)
+                               if self.mesh is not None
+                               else make_single_step(raw))
+        return self._steps[key]
+
+    def _sampler(self, res_log2: int) -> Callable:
+        if res_log2 not in self._samplers:
+            self._samplers[res_log2] = jax.jit(
+                build_sample_fn(self.cfg, res_log2))
+        return self._samplers[res_log2]
+
+    def _place(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return jax.device_put(batch, jax.devices()[0])
+
+    # ------------------------------------------------------------------
+    def train(self, max_steps: int | None = None) -> dict:
+        """Run until the schedule (or ``max_steps`` optimizer steps) ends."""
+        cfg = self.cfg
+        run = cfg.run
+        max_steps = max_steps if max_steps is not None else run.total_steps
+        steps_done = 0
+        shown = float(jax.device_get(self.state.shown_imgs))
+        metrics = {}
+
+        while True:
+            phase = phase_at(self.phases, int(shown))
+            if shown >= self.phases[-1].end_img:
+                break
+            step_fn = self._step_fn(phase)
+            global_batch = phase.batch_size * self.n_dev
+            print(f"phase {phase.index}: res {phase.resolution} {phase.kind} "
+                  f"[{phase.start_img}, {phase.end_img}) batch/device "
+                  f"{phase.batch_size} x {self.n_dev} devices", flush=True)
+
+            with Prefetcher(self.source, global_batch, phase.resolution,
+                            place=self._place,
+                            depth=cfg.data.prefetch) as pf:
+                while shown < phase.end_img:
+                    if max_steps is not None and steps_done >= max_steps:
+                        self._finish()
+                        return metrics
+                    self.state, metrics = step_fn(self.state, pf.next())
+                    steps_done += 1
+                    shown += global_batch
+
+                    step_i = steps_done
+                    if step_i % run.log_every == 0:
+                        m = {k: float(jax.device_get(v))
+                             for k, v in metrics.items()}
+                        m.update(res=phase.resolution, kind=phase.kind,
+                                 shown_imgs=shown)
+                        self.logger.log(step_i, m)
+                    if run.sample_every and step_i % run.sample_every == 0:
+                        self.save_samples(phase.res_log2,
+                                          tag=f"step{step_i:08d}")
+                    if run.checkpoint_every and \
+                            step_i % run.checkpoint_every == 0:
+                        self.save_checkpoint()
+        self._finish()
+        return metrics
+
+    def _finish(self):
+        self.save_checkpoint()
+        self.ckpt.wait()
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self) -> None:
+        state = jax.device_get(self.state)
+        self.ckpt.save(int(state.step), state)
+
+    def save_samples(self, res_log2: int | None = None,
+                     tag: str = "final", psi: float | None = None) -> str:
+        cfg = self.cfg
+        lg = res_log2 if res_log2 is not None else cfg.model.res_log2
+        sampler = self._sampler(lg)
+        key = jax.random.PRNGKey(cfg.run.seed + 1)
+        z = gen_latents(key, cfg.run.num_sample_images, cfg.model.latent_dim)
+        psi = psi if psi is not None else cfg.model.truncation_psi
+        state = self.state
+        imgs = sampler(state.params_ema, state.w_avg, z,
+                       jax.random.PRNGKey(0), psi, 1.0)
+        path = os.path.join(self.workdir, cfg.run.sample_dir,
+                            f"{tag}_res{2 ** lg}.png")
+        return save_image_grid(np.asarray(jax.device_get(imgs)), path)
+
+    def close(self):
+        self.ckpt.close()
+        self.logger.close()

@@ -1,0 +1,269 @@
+"""Jitted alternating G/D train steps; one compiled program per phase.
+
+Rebuild of the reference's Learner ``train-step`` hot loop (SURVEY.md 3.2) as
+a single pure function: D update (loss + gradient penalty via grad-of-grad)
+-> G update (against the updated D, matching the reference's sequential
+``opt_D.step(); g_loss.backward()``) -> generator EMA -> W-average -> counter
+updates. The resolution and phase boundaries are static per compiled step;
+fade-in alpha is derived from the shown-image counter *inside* jit, so one
+compile covers a whole fade phase (SURVEY.md 3.3).
+
+Data parallelism: ``axis_name`` threads a mesh axis through the step; the
+only communication is a gradient/metric ``pmean`` over ICI. Everything else
+(sampling, minibatch-stddev, penalties) is per-device by design, matching the
+reference's per-GPU semantics (SURVEY.md 2.1, 2.3).
+
+Images enter as uint8 NHWC and are normalized + augmented (random hflip)
+on device — host->HBM traffic stays at 1 byte/pixel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from ganlab_tpu.config import Config
+from ganlab_tpu.models import build_models
+from ganlab_tpu.models.stylegan import (
+    StyleGenerator,
+    mix_styles,
+    num_style_layers,
+    truncate_ws,
+)
+from ganlab_tpu.ops import losses as L
+from ganlab_tpu.train.schedule import PhaseSpec
+from ganlab_tpu.train.state import TrainState, make_optimizers
+
+
+def _dtype_of(cfg: Config):
+    return jnp.dtype(cfg.run.compute_dtype)
+
+
+def _preprocess(real_u8, hflip: bool, key, dtype):
+    """uint8 -> [-1, 1] in compute dtype, with per-sample random hflip."""
+    x = real_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+    if hflip:
+        flip = jax.random.bernoulli(key, 0.5, (x.shape[0], 1, 1, 1))
+        x = jnp.where(flip, x[:, :, ::-1, :], x)
+    return x.astype(dtype)
+
+
+def _ema_update(ema_params, new_params, beta):
+    b = jnp.asarray(beta, jnp.float32)
+    return jax.tree.map(lambda e, p: e * b + p.astype(e.dtype) * (1.0 - b),
+                        ema_params, new_params)
+
+
+def build_generator_forward(cfg: Config, res_log2: int):
+    """(params_g, z-key, noise-key, alpha, batch) -> (fake_images, w_mean).
+
+    For StyleGAN this includes mixing regularization: with probability
+    ``style_mixing_prob`` a second latent is mapped and the per-layer styles
+    cross over at a random (traced) layer. w_mean is the batch mean of the
+    primary W, feeding the running W-average; None for non-style models.
+    """
+    g_model, _ = build_models(cfg.model)
+    dtype = _dtype_of(cfg)
+    zdim = cfg.model.latent_dim
+    is_style = isinstance(g_model, StyleGenerator)
+
+    if not is_style:
+        def forward(params_g, zkey, nkey, alpha, batch):
+            del nkey
+            z = jax.random.normal(zkey, (batch, zdim), dtype)
+            img = g_model.apply(params_g, z, res_log2, alpha)
+            return img, None
+
+        return g_model, forward
+
+    nl = num_style_layers(res_log2)
+    mix_prob = cfg.model.style_mixing_prob
+
+    def forward(params_g, zkey, nkey, alpha, batch):
+        k1, k2, kp, kc = jax.random.split(zkey, 4)
+        z1 = jax.random.normal(k1, (batch, zdim), dtype)
+        z2 = jax.random.normal(k2, (batch, zdim), dtype)
+        w1 = g_model.apply(params_g, z1, method="map_latents")
+        w2 = g_model.apply(params_g, z2, method="map_latents")
+        use_mix = jax.random.bernoulli(kp, mix_prob)
+        cross = jax.random.randint(kc, (), 1, nl)
+        crossover = jnp.where(use_mix, cross, nl)
+        ws = mix_styles(w1, w2, crossover, nl)
+        img = g_model.apply(params_g, ws, res_log2, alpha,
+                            method="synthesize", rngs={"noise": nkey})
+        w_mean = jnp.mean(w1.astype(jnp.float32), axis=0)
+        return img, w_mean
+
+    return g_model, forward
+
+
+def build_train_step(cfg: Config, phase: PhaseSpec,
+                     axis_name: str | None = None,
+                     fold_device_rng: bool = True) -> Callable:
+    """Pure (state, real_uint8) -> (state, metrics) for one phase.
+
+    Wrap with jax.jit (single device) or shard_map+jit (DP) via
+    ``ganlab_tpu.parallel.make_parallel_step``.
+
+    ``fold_device_rng=False`` makes every device draw identical latents
+    (test-only: with identical per-device data it turns DP into an exact
+    replica of the single-device step, giving a bitwise equality check of
+    the psum placement and state replication).
+    """
+    res_log2 = phase.res_log2
+    g_model, gen_forward = build_generator_forward(cfg, res_log2)
+    _, d_model = build_models(cfg.model)
+    opt_g, opt_d = make_optimizers(cfg)
+    dtype = _dtype_of(cfg)
+    lc = cfg.loss
+    d_loss_fn_base = L.D_LOSSES[lc.loss]
+    g_loss_fn_base = L.G_LOSSES[lc.loss]
+    is_style = cfg.model.model == "stylegan"
+
+    fade_start = float(phase.start_img)
+    fade_len = float(max(phase.fade_images, 1))
+    is_fade = phase.kind == "fade"
+
+    def alpha_of(shown):
+        if not is_fade:
+            return jnp.float32(1.0)
+        return jnp.clip((shown - fade_start) / fade_len, 0.0, 1.0)
+
+    def d_apply(params_d, imgs, alpha):
+        return d_model.apply(params_d, imgs, res_log2, alpha).astype(jnp.float32)
+
+    def pmean(x):
+        return lax.pmean(x, axis_name) if axis_name else x
+
+    def step(state: TrainState, real_u8) -> tuple[TrainState, dict]:
+        batch = real_u8.shape[0]
+        alpha = alpha_of(state.shown_imgs)
+
+        # Per-device RNG: fold the mesh position into the replicated key for
+        # sampling; advance the replicated key identically on every device.
+        base = state.rng
+        if axis_name and fold_device_rng:
+            local = jax.random.fold_in(base, lax.axis_index(axis_name))
+        else:
+            local = base
+        (k_flip, k_zd, k_nd, k_gp, k_zg, k_ng) = jax.random.split(local, 6)
+        next_rng = jax.random.split(base, 1)[0]
+
+        real = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
+
+        # ------------------------------------------------------------------
+        # D step
+        # ------------------------------------------------------------------
+        fake_d, _ = gen_forward(state.params_g, k_zd, k_nd, alpha, batch)
+        fake_d = lax.stop_gradient(fake_d)
+
+        def d_objective(params_d):
+            real_s = d_apply(params_d, real, alpha)
+            fake_s = d_apply(params_d, fake_d, alpha)
+            loss = d_loss_fn_base(real_s, fake_s)
+            penalty = jnp.float32(0.0)
+            critic = lambda x: d_apply(params_d, x, alpha)
+            if lc.penalty == "wgan-gp":
+                penalty = L.wgan_gp(critic, real, fake_d, k_gp,
+                                    lc.penalty_weight)
+            elif lc.penalty == "r1":
+                penalty = L.r1_penalty(critic, real, lc.penalty_weight)
+            if lc.drift_weight:
+                penalty = penalty + L.drift_penalty(real_s, lc.drift_weight)
+            aux = {"d_loss": loss, "penalty": penalty,
+                   "real_score": jnp.mean(real_s),
+                   "fake_score": jnp.mean(fake_s)}
+            return loss + penalty, aux
+
+        (_, d_aux), d_grads = jax.value_and_grad(d_objective, has_aux=True)(
+            state.params_d)
+        d_grads = pmean(d_grads)
+        d_updates, new_opt_d = opt_d.update(d_grads, state.opt_d,
+                                            state.params_d)
+        new_params_d = optax.apply_updates(state.params_d, d_updates)
+
+        # ------------------------------------------------------------------
+        # G step (against the updated D, like the reference)
+        # ------------------------------------------------------------------
+        def g_objective(params_g):
+            fake, w_mean = gen_forward(params_g, k_zg, k_ng, alpha, batch)
+            fake_s = d_apply(new_params_d, fake, alpha)
+            return g_loss_fn_base(fake_s), w_mean
+
+        (g_loss, w_mean), g_grads = jax.value_and_grad(
+            g_objective, has_aux=True)(state.params_g)
+        g_grads = pmean(g_grads)
+        g_updates, new_opt_g = opt_g.update(g_grads, state.opt_g,
+                                            state.params_g)
+        new_params_g = optax.apply_updates(state.params_g, g_updates)
+
+        new_ema = _ema_update(state.params_ema, new_params_g,
+                              cfg.optim.ema_beta)
+
+        if is_style and w_mean is not None:
+            w_mean = pmean(w_mean)
+            beta = jnp.float32(cfg.model.w_avg_beta)
+            new_w_avg = state.w_avg * beta + w_mean * (1.0 - beta)
+        else:
+            new_w_avg = state.w_avg
+
+        n_dev = lax.psum(1, axis_name) if axis_name else 1
+        global_batch = jnp.float32(batch * n_dev)
+
+        new_state = state.replace(
+            params_g=new_params_g,
+            params_d=new_params_d,
+            params_ema=new_ema,
+            opt_g=new_opt_g,
+            opt_d=new_opt_d,
+            w_avg=new_w_avg,
+            rng=next_rng,
+            step=state.step + 1,
+            shown_imgs=state.shown_imgs + global_batch,
+        )
+        metrics = {
+            "d_loss": pmean(d_aux["d_loss"]),
+            "g_loss": pmean(g_loss),
+            "penalty": pmean(d_aux["penalty"]),
+            "real_score": pmean(d_aux["real_score"]),
+            "fake_score": pmean(d_aux["fake_score"]),
+            "alpha": alpha,
+        }
+        return new_state, metrics
+
+    return step
+
+
+def build_sample_fn(cfg: Config, res_log2: int,
+                    use_ema: bool = True) -> Callable:
+    """Jittable sampling: (params, w_avg, z, noise-key, psi, alpha) -> images.
+
+    Uses the G-EMA weights (the reference samples from G-EMA, SURVEY.md 3.4);
+    StyleGAN applies the truncation trick in W space with traced psi.
+    Returned images are float32 in [-1, 1].
+    """
+    g_model, _ = build_models(cfg.model)
+    is_style = isinstance(g_model, StyleGenerator)
+    dtype = _dtype_of(cfg)
+    cutoff = cfg.model.truncation_cutoff
+
+    def sample(params, w_avg, z, noise_key, psi=1.0, alpha=1.0):
+        z = z.astype(dtype)
+        if is_style:
+            w = g_model.apply(params, z, method="map_latents")
+            nl = num_style_layers(res_log2)
+            ws = jnp.repeat(w[:, None, :], nl, axis=1)
+            ws = truncate_ws(ws, w_avg.astype(ws.dtype), psi, cutoff)
+            img = g_model.apply(params, ws, res_log2, alpha,
+                                method="synthesize",
+                                rngs={"noise": noise_key})
+        else:
+            img = g_model.apply(params, z, res_log2, alpha)
+        return jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+
+    return sample

@@ -9,6 +9,9 @@ time.
 
 import os
 
+# NOTE: this container pins JAX_PLATFORMS=axon (TPU tunnel) via its site
+# config, which overrides the env var; jax.config.update below is what
+# actually forces CPU. XLA_FLAGS must still be set before backend init.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -22,6 +25,7 @@ os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
 # against fp32 torch/NumPy oracles need full fp32.
 import jax  # noqa: E402  (after env mutation; backends init lazily)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: XLA-CPU compiles are slow in this container
 # (~3-5s per tiny program); caching amortizes them across pytest runs.

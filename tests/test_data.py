@@ -1,0 +1,91 @@
+"""Data pipeline tests: sources, downsampling, prefetch, prepare-data."""
+
+import numpy as np
+import pytest
+
+from ganlab_tpu.data import (
+    ArraySource,
+    NpySource,
+    Prefetcher,
+    SyntheticSource,
+    make_source,
+    prepare_dataset,
+)
+from ganlab_tpu.data.pipeline import box_downsample
+from ganlab_tpu.config import DataConfig
+
+
+def test_box_downsample_exact_mean():
+    x = np.arange(4 * 4, dtype=np.uint8).reshape(1, 4, 4, 1)
+    y = box_downsample(x, 2)
+    assert y.shape == (1, 2, 2, 1)
+    # Independent oracle: mean of each 2x2 block, round-half-up.
+    expected = np.empty((2, 2, 1), np.uint8)
+    for i in range(2):
+        for j in range(2):
+            block = x[0, 2 * i:2 * i + 2, 2 * j:2 * j + 2, 0]
+            expected[i, j, 0] = int(block.astype(np.float32).mean() + 0.5)
+    np.testing.assert_array_equal(y[0], expected)
+
+
+def test_synthetic_source_deterministic_and_shaped():
+    s1 = SyntheticSource(32, num_images=16, seed=3)
+    s2 = SyntheticSource(32, num_images=16, seed=3)
+    b1, b2 = s1.batch(4, 32), s2.batch(4, 32)
+    assert b1.shape == (4, 32, 32, 3) and b1.dtype == np.uint8
+    np.testing.assert_array_equal(b1, b2)
+    # Lower-resolution serving.
+    assert s1.batch(4, 8).shape == (4, 8, 8, 3)
+
+
+def test_array_source_multi_res():
+    imgs = np.random.RandomState(0).randint(0, 255, (10, 16, 16, 3),
+                                            dtype=np.uint8)
+    src = ArraySource(imgs)
+    assert src.batch(3, 16).shape == (3, 16, 16, 3)
+    assert src.batch(3, 4).shape == (3, 4, 4, 3)
+    with pytest.raises(AssertionError):
+        src.batch(3, 32)
+
+
+def test_prepare_dataset_and_npy_source(tmp_path):
+    from PIL import Image
+
+    src_dir = tmp_path / "raw"
+    src_dir.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(5):
+        arr = rng.randint(0, 255, (40, 30, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(src_dir / f"img{i}.png")
+
+    out = tmp_path / "prepared"
+    written = prepare_dataset(str(src_dir), str(out), max_res=16)
+    assert sorted(written) == [4, 8, 16]
+
+    src = NpySource(str(out))
+    b16 = src.batch(2, 16)
+    b8 = src.batch(2, 8)
+    assert b16.shape == (2, 16, 16, 3)
+    assert b8.shape == (2, 8, 8, 3)
+    # The 8px shard is exactly the box-downsampled 16px shard.
+    a16 = np.load(out / "images_16.npy")
+    a8 = np.load(out / "images_8.npy")
+    np.testing.assert_array_equal(a8, box_downsample(a16, 2))
+
+
+def test_prefetcher_delivers_and_stops():
+    src = SyntheticSource(16, num_images=8)
+    seen = []
+    with Prefetcher(src, 4, 16, place=lambda b: b + 0) as pf:
+        for _ in range(5):
+            seen.append(pf.next())
+    assert all(b.shape == (4, 16, 16, 3) for b in seen)
+
+
+def test_make_source_dispatch():
+    assert isinstance(make_source(DataConfig(dataset="synthetic"), 32),
+                      SyntheticSource)
+    with pytest.raises(ValueError):
+        make_source(DataConfig(dataset="bogus"), 32)
+    with pytest.raises(ValueError):
+        make_source(DataConfig(dataset="cifar10"), 32)  # needs data_dir

@@ -1,0 +1,152 @@
+"""Data-parallel correctness on 8 fake CPU devices (SURVEY.md 4).
+
+* the shard_map step runs over a 1-D mesh with the batch sharded and the
+  state replicated;
+* the returned state is replica-identical (probed by gathering a per-device
+  fingerprint through an explicitly sharded output);
+* with identical per-device data and RNG, the DP step equals the
+  single-device step exactly (validates psum placement: a mean of identical
+  per-device gradients must reproduce the local gradient).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ganlab_tpu.config import get_config
+from ganlab_tpu.parallel import (
+    make_mesh,
+    make_parallel_step,
+    make_single_step,
+    replicate,
+    shard_batch,
+)
+from ganlab_tpu.train.schedule import build_phases
+from ganlab_tpu.train.state import create_train_state
+from ganlab_tpu.train.steps import build_train_step
+
+
+def tiny_config(model="resnetgan"):
+    presets = {"resnetgan": "resnetgan-cifar10", "stylegan": "stylegan-256"}
+    return get_config(presets[model], **{
+        "model.resolution": 16,
+        "model.fmap_base": 256,
+        "model.fmap_max": 32,
+        "model.latent_dim": 32,
+        "model.base_channels": 16,
+        "model.mapping_layers": 2,
+        "run.compute_dtype": "float32",
+        "schedule.batch_schedule": {16: 2},
+        "schedule.total_kimg": 1.0,
+    })
+
+
+def fake_batch(n, res, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(n, res, res, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "conftest must fake 8 CPU devices"
+    return make_mesh()
+
+
+@pytest.mark.parametrize("model", ["resnetgan", "stylegan"])
+def test_dp_step_runs_and_counts_global_batch(mesh, model):
+    cfg = tiny_config(model)
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    step = build_train_step(cfg, phase, axis_name="data")
+    par_step = make_parallel_step(step, mesh)
+
+    state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    batch = shard_batch(fake_batch(16, 16), mesh)   # 2 per device
+    state2, metrics = par_step(state, batch)
+    assert float(state2.shown_imgs) == 16.0
+    for k in ("d_loss", "g_loss", "penalty"):
+        assert np.isfinite(float(metrics[k]))
+
+
+def test_dp_state_replica_identical(mesh):
+    """Gather a per-device fingerprint of the post-step params and require
+    all replicas to agree bitwise."""
+    cfg = tiny_config()
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    step = build_train_step(cfg, phase, axis_name="data")
+
+    def probed(state, batch):
+        new_state, metrics = step(state, batch)
+        leaves = jax.tree.leaves((new_state.params_g, new_state.params_d,
+                                  new_state.params_ema, new_state.w_avg,
+                                  new_state.rng.astype(jnp.float32)))
+        fp = sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in leaves)
+        return new_state, metrics, fp[None]   # (1,) per device -> (8,)
+
+    par = jax.jit(jax.shard_map(
+        probed, mesh=mesh, in_specs=(P(), P("data")),
+        out_specs=(P(), P(), P("data")), check_vma=False))
+    state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    batch = shard_batch(fake_batch(16, 16), mesh)
+    _, _, fingerprints = par(state, batch)
+    fingerprints = np.asarray(fingerprints)
+    assert fingerprints.shape == (8,)
+    assert np.all(fingerprints == fingerprints[0]), fingerprints
+
+
+def test_dp_equals_single_device_with_identical_shards(mesh):
+    """fold_device_rng=False + identical per-device data => the DP update
+    must equal the single-device update on one shard, exactly."""
+    cfg = tiny_config()
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+
+    # DP path: every device gets the SAME 2-image shard.
+    step_dp = build_train_step(cfg, phase, axis_name="data",
+                               fold_device_rng=False)
+    par = make_parallel_step(step_dp, mesh)
+    shard = fake_batch(2, 16, seed=5)
+    batch = shard_batch(np.tile(shard, (8, 1, 1, 1)), mesh)
+    state0 = create_train_state(cfg, jax.random.PRNGKey(3))
+    state_dp, m_dp = par(replicate(state0, mesh), batch)
+
+    # Single-device path on one shard.
+    step_1 = make_single_step(build_train_step(cfg, phase))
+    state_1, m_1 = step_1(create_train_state(cfg, jax.random.PRNGKey(3)),
+                          shard)
+
+    for a, b in zip(jax.tree.leaves(state_dp.params_g),
+                    jax.tree.leaves(state_1.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_dp.params_d),
+                    jax.tree.leaves(state_1.params_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert float(m_dp["d_loss"]) == pytest.approx(float(m_1["d_loss"]),
+                                                  rel=1e-5)
+    # Global counter: 8 devices x 2 images vs 2 images.
+    assert float(state_dp.shown_imgs) == 16.0
+    assert float(state_1.shown_imgs) == 2.0
+
+
+def test_dp_devices_draw_different_latents(mesh):
+    """With folding ON, per-device fakes differ (the whole point of DP)."""
+    cfg = tiny_config()
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    from ganlab_tpu.train.steps import build_generator_forward
+    _, gen_fwd = build_generator_forward(cfg, cfg.model.res_log2)
+
+    def gen_per_device(params, rng):
+        local = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        img, _ = gen_fwd(params, local, local, jnp.float32(1.0), 2)
+        return img
+
+    par = jax.jit(jax.shard_map(
+        gen_per_device, mesh=mesh, in_specs=(P(), P()),
+        out_specs=P("data"), check_vma=False))
+    state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    imgs = np.asarray(par(state.params_g, state.rng))
+    assert imgs.shape[0] == 16
+    # Device 0's images differ from device 1's.
+    assert not np.allclose(imgs[0], imgs[2])

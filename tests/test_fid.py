@@ -1,0 +1,107 @@
+"""FID math vs closed-form Gaussians; extractor determinism; Inception port."""
+
+import numpy as np
+import pytest
+
+from ganlab_tpu.eval import (
+    RandomConvExtractor,
+    compute_fid,
+    compute_statistics,
+    frechet_distance,
+)
+
+
+class TestFrechetMath:
+    def test_identical_distributions_zero(self):
+        rng = np.random.RandomState(0)
+        f = rng.randn(500, 8)
+        mu, s = compute_statistics(f)
+        assert frechet_distance(mu, s, mu, s) == pytest.approx(0.0, abs=1e-6)
+
+    def test_mean_shift_closed_form(self):
+        # Same covariance, means differ by d: FID = ||d||^2.
+        d = np.array([3.0, -4.0])          # ||d||^2 = 25
+        s = np.eye(2)
+        val = frechet_distance(np.zeros(2), s, d, s)
+        assert val == pytest.approx(25.0, rel=1e-9)
+
+    def test_isotropic_variance_closed_form(self):
+        # N(0, a I) vs N(0, b I) in D dims: FID = D (sqrt(a) - sqrt(b))^2.
+        a, b, D = 4.0, 1.0, 3
+        val = frechet_distance(np.zeros(D), a * np.eye(D),
+                               np.zeros(D), b * np.eye(D))
+        assert val == pytest.approx(D * (2.0 - 1.0) ** 2, rel=1e-9)
+
+    def test_sampled_gaussians_match_analytic(self):
+        rng = np.random.RandomState(1)
+        f1 = rng.randn(20000, 4)
+        f2 = rng.randn(20000, 4) + np.array([1.0, 0, 0, 0])
+        fid = compute_fid(f1, f2)
+        assert fid == pytest.approx(1.0, abs=0.05)
+
+
+class TestRandomConvExtractor:
+    def test_deterministic(self):
+        x = np.random.RandomState(0).randn(4, 32, 32, 3).astype(np.float32)
+        e1, e2 = RandomConvExtractor(seed=5), RandomConvExtractor(seed=5)
+        np.testing.assert_array_equal(e1(x), e2(x))
+
+    def test_discriminates_distributions(self):
+        rng = np.random.RandomState(0)
+        base = rng.rand(64, 16, 16, 3).astype(np.float32) * 2 - 1
+        same = rng.rand(64, 16, 16, 3).astype(np.float32) * 2 - 1
+        shifted = np.clip(base * 0.2 + 0.5, -1, 1)
+        ex = RandomConvExtractor(dim=64)
+        fid_same = compute_fid(ex(base), ex(same))
+        fid_diff = compute_fid(ex(base), ex(shifted))
+        assert fid_diff > 5 * max(fid_same, 1e-6)
+
+
+class TestInceptionPort:
+    def test_pool3_shape_and_determinism(self):
+        from ganlab_tpu.eval.inception import (
+            init_inception_params,
+            inception_pool3,
+            preprocess,
+        )
+        import jax.numpy as jnp
+
+        params = init_inception_params(seed=0)
+        x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+        x = x * 2 - 1
+        feats = inception_pool3(params, preprocess(jnp.asarray(x)))
+        assert feats.shape == (2, 2048)
+        assert np.all(np.isfinite(np.asarray(feats)))
+        feats2 = inception_pool3(params, preprocess(jnp.asarray(x)))
+        np.testing.assert_array_equal(np.asarray(feats), np.asarray(feats2))
+
+    def test_torch_state_dict_roundtrip(self, tmp_path):
+        """Build a torch-format state_dict with the exact torchvision names
+        from random values, load it, and check placement/transposition."""
+        import torch
+
+        from ganlab_tpu.eval.inception import _spec, load_torch_state_dict
+
+        sd = {}
+        rng = np.random.RandomState(0)
+        for name, cin, cout, kh, kw in _spec():
+            sd[f"{name}.conv.weight"] = torch.tensor(
+                rng.randn(cout, cin, kh, kw).astype(np.float32))
+            for suffix, val in (("weight", np.ones(cout)),
+                                ("bias", np.zeros(cout)),
+                                ("running_mean", np.zeros(cout)),
+                                ("running_var", np.ones(cout))):
+                sd[f"{name}.bn.{suffix}"] = torch.tensor(
+                    val.astype(np.float32))
+        path = tmp_path / "inception.pth"
+        torch.save(sd, path)
+
+        params = load_torch_state_dict(str(path))
+        w = np.asarray(params["Conv2d_1a_3x3"]["conv"]["w"])
+        wt = sd["Conv2d_1a_3x3.conv.weight"].numpy()
+        assert w.shape == (3, 3, 3, 32)
+        np.testing.assert_array_equal(w, wt.transpose(2, 3, 1, 0))
+        # Nested blocks land in the right place.
+        assert np.asarray(
+            params["Mixed_7c"]["branch_pool"]["conv"]["w"]).shape == \
+            (1, 1, 2048, 192)

@@ -1,0 +1,162 @@
+"""Train-step integration tests on tiny models (CPU).
+
+SURVEY.md section 4 "Integration": losses move the right way, penalties stay
+finite, EMA tracks G, the state advances deterministically under a fixed
+seed.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ganlab_tpu.config import get_config
+from ganlab_tpu.train.schedule import build_phases, phase_at
+from ganlab_tpu.train.state import create_train_state
+from ganlab_tpu.train.steps import build_train_step, build_sample_fn
+from ganlab_tpu.parallel import make_single_step
+
+
+def tiny_config(model="resnetgan", **extra):
+    presets = {"resnetgan": "resnetgan-cifar10", "progan": "progan-64",
+               "stylegan": "stylegan-256"}
+    over = {
+        "model.resolution": 16,
+        "model.fmap_base": 256,
+        "model.fmap_max": 32,
+        "model.latent_dim": 32,
+        "model.base_channels": 16,
+        "model.mapping_layers": 2,
+        "run.compute_dtype": "float32",
+        "schedule.batch_schedule": {4: 4, 8: 4, 16: 4},
+        "schedule.total_kimg": 1.0,
+    }
+    over.update(extra)
+    return get_config(presets[model], **over)
+
+
+def fake_batch(n, res, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(n, res, res, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("model", ["resnetgan", "progan", "stylegan"])
+def test_step_runs_and_updates(model):
+    cfg = tiny_config(model)
+    phases = build_phases(cfg.schedule, cfg.model)
+    phase = phases[-1]  # full-res stabilize phase
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_single_step(build_train_step(cfg, phase))
+
+    batch = fake_batch(4, cfg.model.resolution)
+    old_g = jax.tree.leaves(state.params_g)[0].copy()
+    state2, metrics = step(state, batch)
+
+    assert int(state2.step) == 1
+    assert float(state2.shown_imgs) == 4.0
+    for k in ("d_loss", "g_loss", "penalty", "alpha"):
+        assert np.isfinite(float(metrics[k])), (k, metrics[k])
+    # Params actually moved.
+    new_g = jax.tree.leaves(state2.params_g)[0]
+    assert not np.allclose(np.asarray(old_g), np.asarray(new_g))
+
+
+def test_determinism_fixed_seed():
+    cfg = tiny_config("resnetgan")
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+
+    def run():
+        state = create_train_state(cfg, jax.random.PRNGKey(7))
+        step = make_single_step(build_train_step(cfg, phase))
+        for i in range(2):
+            state, m = step(state, fake_batch(4, 16, seed=i))
+        return float(m["d_loss"]), np.asarray(
+            jax.tree.leaves(state.params_g)[0])
+
+    l1, p1 = run()
+    l2, p2 = run()
+    assert l1 == l2
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_ema_tracks_generator():
+    cfg = tiny_config("resnetgan", **{"optim.ema_beta": 0.5})
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_single_step(build_train_step(cfg, phase))
+    # Snapshot BEFORE the step: the jitted step donates its input state.
+    g0 = np.asarray(jax.tree.leaves(state.params_g)[0])
+    state2, _ = step(state, fake_batch(4, 16))
+    # ema' = 0.5*ema0 + 0.5*g1, with ema0 == g0.
+    g1 = np.asarray(jax.tree.leaves(state2.params_g)[0])
+    ema1 = np.asarray(jax.tree.leaves(state2.params_ema)[0])
+    np.testing.assert_allclose(ema1, 0.5 * g0 + 0.5 * g1,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_losses_move_right_direction():
+    """A few steps of WGAN-GP on fixed data: D loss should decrease
+    (critic separates real from fake) and stay finite."""
+    cfg = tiny_config("resnetgan")
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(1))
+    step = make_single_step(build_train_step(cfg, phase))
+    batch = fake_batch(8, 16, seed=42)
+    d_losses = []
+    for _ in range(8):
+        state, m = step(state, batch)
+        d_losses.append(float(m["d_loss"]))
+    assert all(np.isfinite(d_losses))
+    # Wasserstein critic loss E[D(fake)]-E[D(real)] should trend down.
+    assert np.mean(d_losses[-3:]) < np.mean(d_losses[:3])
+
+
+def test_fade_phase_alpha_advances_in_jit():
+    """During a fade phase, alpha is derived from shown_imgs inside jit and
+    advances without recompilation."""
+    cfg = tiny_config("progan", **{
+        "schedule.progressive": True,
+        "schedule.start_res": 4,
+        "schedule.fade_kimg": 0.016,      # 16 images
+        "schedule.stabilize_kimg": 0.016,
+        "schedule.total_kimg": 0.2,
+    })
+    phases = build_phases(cfg.schedule, cfg.model)
+    fade8 = [p for p in phases if p.kind == "fade"][0]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state = state.replace(shown_imgs=jnp.float32(fade8.start_img))
+    step = make_single_step(build_train_step(cfg, fade8))
+    alphas = []
+    for i in range(3):
+        state, m = step(state, fake_batch(4, fade8.resolution, seed=i))
+        alphas.append(float(m["alpha"]))
+    np.testing.assert_allclose(alphas, [0.0, 0.25, 0.5], atol=1e-6)
+
+
+def test_stylegan_w_avg_updates():
+    cfg = tiny_config("stylegan")
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_single_step(build_train_step(cfg, phase))
+    state2, _ = step(state, fake_batch(4, 16))
+    assert not np.allclose(np.asarray(state2.w_avg), 0.0)
+
+
+def test_sample_fn_truncation():
+    cfg = tiny_config("stylegan")
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    sample = jax.jit(build_sample_fn(cfg, cfg.model.res_log2),
+                     static_argnums=())
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.model.latent_dim))
+    img_full = sample(state.params_ema, state.w_avg, z,
+                      jax.random.PRNGKey(4), 1.0, 1.0)
+    img_trunc = sample(state.params_ema, state.w_avg, z,
+                       jax.random.PRNGKey(4), 0.0, 1.0)
+    assert img_full.shape == (2, 16, 16, 3)
+    # psi=0 maps all truncated layers to w_avg: outputs differ from psi=1.
+    assert not np.allclose(np.asarray(img_full), np.asarray(img_trunc))
+    # psi=0 with w_avg fixed: the two different z's give much more similar
+    # images than at psi=1 (style collapse onto the average).
+    var_full = np.var(np.asarray(img_full[0] - img_full[1]))
+    var_trunc = np.var(np.asarray(img_trunc[0] - img_trunc[1]))
+    assert var_trunc < var_full

@@ -1,0 +1,128 @@
+"""End-to-end Trainer + CLI smoke tests (SURVEY.md 4, integration)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from ganlab_tpu.config import get_config
+from ganlab_tpu.data import SyntheticSource
+from ganlab_tpu.train.loop import Trainer
+
+
+def tiny_config(**extra):
+    over = {
+        "model.resolution": 16, "model.latent_dim": 16,
+        "model.base_channels": 8, "model.fmap_base": 128,
+        "model.fmap_max": 16, "model.mapping_layers": 2,
+        "run.compute_dtype": "float32",
+        "run.log_every": 2, "run.sample_every": 0,
+        "run.checkpoint_every": 0, "run.num_sample_images": 4,
+        "schedule.batch_schedule": {4: 4, 8: 4, 16: 4},
+        "schedule.total_kimg": 0.1,
+    }
+    over.update(extra)
+    return get_config("resnetgan-cifar10", **over)
+
+
+def test_trainer_end_to_end_single_device(tmp_path):
+    cfg = tiny_config()
+    src = SyntheticSource(16, num_images=32)
+    tr = Trainer(cfg, workdir=str(tmp_path), use_mesh=False, source=src)
+    try:
+        tr.train(max_steps=4)
+        assert int(jax.device_get(tr.state.step)) == 4
+        path = tr.save_samples(tag="smoke")
+        assert os.path.exists(path)
+        # A checkpoint was written by _finish.
+        assert tr.ckpt.latest_step() == 4
+    finally:
+        tr.close()
+
+
+def test_trainer_resume_from_checkpoint(tmp_path):
+    cfg = tiny_config()
+    src = SyntheticSource(16, num_images=32)
+    tr = Trainer(cfg, workdir=str(tmp_path), use_mesh=False, source=src)
+    try:
+        tr.train(max_steps=3)
+    finally:
+        tr.close()
+
+    tr2 = Trainer(cfg, workdir=str(tmp_path), use_mesh=False, source=src)
+    try:
+        assert int(jax.device_get(tr2.state.step)) == 3
+        tr2.train(max_steps=2)
+        assert int(jax.device_get(tr2.state.step)) == 5
+    finally:
+        tr2.close()
+
+
+def test_trainer_progressive_phase_transition(tmp_path):
+    """A short progressive run must cross a fade boundary and emit images
+    at the grown resolution."""
+    cfg = get_config("progan-128", **{
+        "model.resolution": 8, "model.latent_dim": 8,
+        "model.fmap_base": 64, "model.fmap_max": 8,
+        "run.compute_dtype": "float32",
+        "run.log_every": 100, "run.sample_every": 0,
+        "run.checkpoint_every": 0, "run.num_sample_images": 4,
+        "schedule.progressive": True, "schedule.start_res": 4,
+        "schedule.fade_kimg": 0.008, "schedule.stabilize_kimg": 0.008,
+        "schedule.total_kimg": 0.048,
+        "schedule.batch_schedule": {4: 4, 8: 4},
+    })
+    src = SyntheticSource(8, num_images=16)
+    tr = Trainer(cfg, workdir=str(tmp_path), use_mesh=False, source=src)
+    try:
+        tr.train()  # full tiny schedule: 4-stab, 8-fade, 8-stab
+        shown = float(jax.device_get(tr.state.shown_imgs))
+        assert shown >= 48
+        # Compiled steps exist for all three phases.
+        kinds = {(k[0], k[1]) for k in tr._steps}
+        assert kinds == {(2, "stabilize"), (3, "fade"), (3, "stabilize")}
+        path = tr.save_samples(res_log2=3, tag="grown")
+        assert os.path.exists(path)
+    finally:
+        tr.close()
+
+
+def test_cli_train_and_sample(tmp_path):
+    from ganlab_tpu.cli import main
+
+    workdir = str(tmp_path / "run")
+    rc = main([
+        "train", "--preset", "resnetgan-cifar10",
+        "--workdir", workdir, "--max-steps", "2", "--no-mesh",
+        "--set", "model.resolution=16",
+        "--set", "model.latent_dim=8",
+        "--set", "model.base_channels=8",
+        "--set", "run.compute_dtype=float32",
+        "--set", "run.num_sample_images=4",
+        "--set", "schedule.batch_schedule={16: 4}",
+        "--set", "schedule.total_kimg=0.1",
+        "--set", "data.dataset=synthetic",
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(workdir, "checkpoints"))
+    samples = os.listdir(os.path.join(workdir, "samples"))
+    assert any(f.endswith(".png") for f in samples)
+
+
+def test_cli_prepare_data(tmp_path):
+    from PIL import Image
+
+    from ganlab_tpu.cli import main
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (20, 20, 3), dtype=np.uint8)
+                        ).save(src / f"{i}.png")
+    out = tmp_path / "out"
+    rc = main(["prepare-data", "--src", str(src), "--out", str(out),
+               "--max-res", "8"])
+    assert rc == 0
+    assert sorted(os.listdir(out)) == ["images_4.npy", "images_8.npy"]
