@@ -122,6 +122,7 @@ class RunConfig:
     profile: bool = False              # jax.profiler trace around a few steps
     compute_dtype: str = "bfloat16"    # conv/matmul activation dtype on TPU
     data_axis: str = "data"            # mesh axis name for DP
+    use_pallas: bool = False           # hand-written kernels for the hot ops
 
 
 @dataclass(frozen=True)

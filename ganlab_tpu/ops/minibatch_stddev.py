@@ -24,6 +24,11 @@ def minibatch_stddev(x: jax.Array, group_size: int | None = None,
     original ProGAN formulation. A finite group size splits the batch into
     groups and computes the statistic per group (StyleGAN's variant).
     """
+    if group_size is None:
+        from ganlab_tpu.ops import pallas as plops
+
+        if plops.use_pallas():
+            return plops.minibatch_stddev_pallas(x, eps)
     n, h, w, c = x.shape
     g = n if group_size is None else min(group_size, n)
     if n % g != 0:

@@ -16,8 +16,13 @@ def pixel_norm(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     """x * rsqrt(mean(x^2, channel) + eps).
 
     Channel axis is the last axis (NHWC); also used on (N, latent) vectors at
-    the top of the mapping network (ProGAN sec. 4.2).
+    the top of the mapping network (ProGAN sec. 4.2). Dispatches to the
+    single-pass Pallas kernel when that backend is enabled.
     """
+    from ganlab_tpu.ops import pallas as plops
+
+    if plops.use_pallas():
+        return plops.pixel_norm_pallas(x, eps)
     ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
     return x * jax.lax.rsqrt(ms + jnp.asarray(eps, x.dtype))
 

@@ -1,0 +1,44 @@
+"""Hand-written Pallas TPU kernels for the hot composite ops (SURVEY.md 2.1).
+
+Each kernel has a pure-XLA reference implementation in ``ganlab_tpu.ops``
+and a parity test (including gradients, via custom VJPs). Dispatch is
+flag-gated through :func:`set_backend` — the XLA paths are the default; the
+Pallas paths are enabled per-run (``run.use_pallas``) and fall back to XLA
+for shapes whose tiles don't fit VMEM.
+
+On non-TPU backends the kernels run in interpreter mode (tests).
+"""
+
+from __future__ import annotations
+
+import jax
+
+_BACKEND = "xla"
+
+
+def set_backend(name: str) -> None:
+    """'xla' (default) or 'pallas'."""
+    global _BACKEND
+    assert name in ("xla", "pallas"), name
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def use_pallas() -> bool:
+    return _BACKEND == "pallas"
+
+
+def interpret_mode() -> bool:
+    """Run kernels in the Pallas interpreter off-TPU (CPU tests)."""
+    return jax.default_backend() not in ("tpu",)
+
+
+from ganlab_tpu.ops.pallas.pixelnorm import pixel_norm_pallas
+from ganlab_tpu.ops.pallas.resample import (
+    upsample_blur_2x_pallas,
+    blur_downsample_2x_pallas,
+)
+from ganlab_tpu.ops.pallas.mbstd import minibatch_stddev_pallas

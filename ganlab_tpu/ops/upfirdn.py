@@ -62,13 +62,26 @@ def downsample_avg_2x(x: jax.Array) -> jax.Array:
     ) * jnp.asarray(0.25, x.dtype)
 
 
+def _default_taps(taps) -> bool:
+    return tuple(float(t) for t in taps) == (1.0, 2.0, 1.0)
+
+
 def upsample_blur_2x(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
     """Fused nearest-2x-upsample + FIR blur in one transposed depthwise conv.
 
     Equivalent to ``blur2d(upsample_nearest_2x(x))`` (parity-tested): nearest
     upsampling is zero-insertion convolved with the box [1,1]; composing box
     and blur taps gives one kernel applied by a stride-2 transposed conv.
+
+    With the Pallas backend enabled (``ops.pallas.set_backend``) and default
+    taps, dispatches to the polyphase shift-add kernel in
+    ``ops/pallas/resample.py``.
     """
+    if _default_taps(taps):
+        from ganlab_tpu.ops import pallas as plops
+
+        if plops.use_pallas():
+            return plops.upsample_blur_2x_pallas(x)
     t = np.asarray(taps, dtype=np.float32)
     # nearest-up = zero-stuff * box([1,1]);  then blur(t)  =>  t (*) [1,1]
     t2 = np.convolve(t, [1.0, 1.0])
@@ -96,8 +109,14 @@ def blur_downsample_2x(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
 
     Equivalent to ``downsample_avg_2x(blur2d(x))`` (parity-tested): the
     average pool is a stride-2 conv with box([1,1])/2 per axis; composing
-    gives one stride-2 kernel.
+    gives one stride-2 kernel. Dispatches to the Pallas polyphase kernel
+    when the backend is enabled (see ``upsample_blur_2x``).
     """
+    if _default_taps(taps):
+        from ganlab_tpu.ops import pallas as plops
+
+        if plops.use_pallas():
+            return plops.blur_downsample_2x_pallas(x)
     t = np.asarray(taps, dtype=np.float32)
     t2 = np.convolve(t, [0.5, 0.5])
     k2 = np.outer(t2, t2)

@@ -38,6 +38,10 @@ class Trainer:
                  use_mesh: bool | None = None, source=None):
         self.cfg = cfg
         self.workdir = workdir
+        if cfg.run.use_pallas:
+            from ganlab_tpu.ops import pallas as plops
+
+            plops.set_backend("pallas")
         self.phases = build_phases(cfg.schedule, cfg.model)
         n_dev = jax.device_count()
         if use_mesh is None:
@@ -121,9 +125,17 @@ class Trainer:
                     if max_steps is not None and steps_done >= max_steps:
                         self._finish()
                         return metrics
+                    # Flag-gated profiling (SURVEY.md 5): trace steps 10-20
+                    # of the run into <workdir>/profile for xprof/tensorboard.
+                    if run.profile and steps_done == 10:
+                        jax.profiler.start_trace(
+                            os.path.join(self.workdir, "profile"))
                     self.state, metrics = step_fn(self.state, pf.next())
                     steps_done += 1
                     shown += global_batch
+                    if run.profile and steps_done == 20:
+                        jax.block_until_ready(metrics)
+                        jax.profiler.stop_trace()
 
                     step_i = steps_done
                     if step_i % run.log_every == 0:

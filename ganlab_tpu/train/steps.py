@@ -162,17 +162,22 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         fake_d, _ = gen_forward(state.params_g, k_zd, k_nd, alpha, batch)
         fake_d = lax.stop_gradient(fake_d)
 
-        def d_objective(params_d):
+        def d_objective(params_d, with_penalty: bool):
             real_s = d_apply(params_d, real, alpha)
             fake_s = d_apply(params_d, fake_d, alpha)
             loss = d_loss_fn_base(real_s, fake_s)
             penalty = jnp.float32(0.0)
             critic = lambda x: d_apply(params_d, x, alpha)
-            if lc.penalty == "wgan-gp":
-                penalty = L.wgan_gp(critic, real, fake_d, k_gp,
-                                    lc.penalty_weight)
-            elif lc.penalty == "r1":
-                penalty = L.r1_penalty(critic, real, lc.penalty_weight)
+            if with_penalty:
+                # Lazy regularization (StyleGAN2 sec. 5.1): applying the
+                # penalty every k-th step with weight scaled by k keeps the
+                # expected gradient while skipping the double-backward on
+                # the other k-1 steps.
+                w = lc.penalty_weight * lc.penalty_every
+                if lc.penalty == "wgan-gp":
+                    penalty = L.wgan_gp(critic, real, fake_d, k_gp, w)
+                elif lc.penalty == "r1":
+                    penalty = L.r1_penalty(critic, real, w)
             if lc.drift_weight:
                 penalty = penalty + L.drift_penalty(real_s, lc.drift_weight)
             aux = {"d_loss": loss, "penalty": penalty,
@@ -180,8 +185,22 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                    "fake_score": jnp.mean(fake_s)}
             return loss + penalty, aux
 
-        (_, d_aux), d_grads = jax.value_and_grad(d_objective, has_aux=True)(
-            state.params_d)
+        has_penalty = lc.penalty in ("wgan-gp", "r1")
+        lazy = has_penalty and lc.penalty_every > 1
+        if not lazy:
+            (_, d_aux), d_grads = jax.value_and_grad(
+                lambda p: d_objective(p, has_penalty), has_aux=True)(
+                    state.params_d)
+        else:
+            # Both branches compile; only one executes per step.
+            do_pen = (state.step % lc.penalty_every) == 0
+            (_, d_aux), d_grads = lax.cond(
+                do_pen,
+                lambda p: jax.value_and_grad(
+                    lambda q: d_objective(q, True), has_aux=True)(p),
+                lambda p: jax.value_and_grad(
+                    lambda q: d_objective(q, False), has_aux=True)(p),
+                state.params_d)
         d_grads = pmean(d_grads)
         d_updates, new_opt_d = opt_d.update(d_grads, state.opt_d,
                                             state.params_d)

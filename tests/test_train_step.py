@@ -160,3 +160,34 @@ def test_sample_fn_truncation():
     var_full = np.var(np.asarray(img_full[0] - img_full[1]))
     var_trunc = np.var(np.asarray(img_trunc[0] - img_trunc[1]))
     assert var_trunc < var_full
+
+
+def test_lazy_regularization_interval():
+    """penalty_every=2: penalty appears on even optimizer steps only,
+    with weight scaled by the interval."""
+    cfg = tiny_config("resnetgan", **{"loss.penalty_every": 2})
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_single_step(build_train_step(cfg, phase))
+    pens = []
+    for i in range(4):
+        state, m = step(state, fake_batch(4, 16, seed=i))
+        pens.append(float(m["penalty"]))
+    # step counter starts at 0: steps 0 and 2 carry the penalty.
+    assert pens[0] > 0.0 and pens[2] > 0.0
+    assert pens[1] == 0.0 and pens[3] == 0.0
+
+
+def test_lazy_regularization_weight_scaling():
+    """With identical state/batch, the lazy penalty (interval k) equals k x
+    the eager penalty."""
+    batch = fake_batch(4, 16, seed=9)
+    vals = {}
+    for k in (1, 3):
+        cfg = tiny_config("resnetgan", **{"loss.penalty_every": k})
+        phase = build_phases(cfg.schedule, cfg.model)[-1]
+        state = create_train_state(cfg, jax.random.PRNGKey(5))
+        step = make_single_step(build_train_step(cfg, phase))
+        _, m = step(state, batch)
+        vals[k] = float(m["penalty"])
+    assert vals[3] == pytest.approx(3.0 * vals[1], rel=1e-4)
