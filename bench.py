@@ -27,8 +27,17 @@ TIMED_STEPS = 20
 
 
 def main() -> None:
+    import sys
     import jax
     import numpy as np
+
+    # Persistent compile cache: the 256^2 train-step compile through this
+    # container's remote-compile relay is minutes; cache it across runs.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ganlab_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    def note(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
 
     from ganlab_tpu.config import get_config
     from ganlab_tpu.train.schedule import build_phases
@@ -43,7 +52,9 @@ def main() -> None:
     phase = build_phases(cfg.schedule, cfg.model)[-1]
     assert phase.resolution == 256
 
+    note(f"devices: {jax.devices()}")
     state = create_train_state(cfg, jax.random.PRNGKey(0))
+    note("state initialized")
     step = make_single_step(build_train_step(cfg, phase))
 
     rng = np.random.RandomState(0)
@@ -57,6 +68,7 @@ def main() -> None:
     for i in range(WARMUP_STEPS):
         state, metrics = step(state, batches[i % len(batches)])
     float(np.asarray(metrics["d_loss"]))
+    note("warmup done (compiled)")
 
     t0 = time.perf_counter()
     for i in range(TIMED_STEPS):

@@ -22,6 +22,18 @@ def box_downsample(x: np.ndarray, factor: int) -> np.ndarray:
     return (x.astype(np.float32).mean(axis=(2, 4)) + 0.5).astype(np.uint8)
 
 
+def _gather(images: np.ndarray, idx: np.ndarray, factor: int) -> np.ndarray:
+    """Batch gather + optional downsample; native C++ kernel when built
+    (ganlab_tpu/data/_native), numpy reference otherwise (bit-identical)."""
+    from ganlab_tpu.data import native
+
+    out = native.gather(images, idx, factor)
+    if out is not None:
+        return out
+    imgs = np.ascontiguousarray(images[idx])
+    return box_downsample(imgs, factor)
+
+
 class _IndexedSource:
     """Base: subclasses hold a (N, R, R, C) uint8 array (possibly memmap) at
     max resolution and serve per-resolution random batches."""
@@ -36,8 +48,7 @@ class _IndexedSource:
     def batch(self, batch_size: int, res: int) -> np.ndarray:
         assert res <= self.resolution, (res, self.resolution)
         idx = self._rng.integers(0, self.num_images, size=batch_size)
-        imgs = np.ascontiguousarray(self._images[idx])
-        return box_downsample(imgs, self.resolution // res)
+        return _gather(self._images, idx, self.resolution // res)
 
     def iterator(self, batch_size: int, res: int) -> Iterator[np.ndarray]:
         while True:
@@ -94,8 +105,7 @@ class NpySource(_IndexedSource):
             raise ValueError(f"no shard >= resolution {res}")
         arr = self._files[src_res]
         idx = self._rng.integers(0, arr.shape[0], size=batch_size)
-        imgs = np.ascontiguousarray(arr[idx])
-        return box_downsample(imgs, src_res // res)
+        return _gather(arr, idx, src_res // res)
 
 
 class Cifar10Source(_IndexedSource):
