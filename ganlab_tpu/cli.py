@@ -108,16 +108,18 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "sample":
-        import numpy as np
-        import jax
+        import dataclasses
 
         from ganlab_tpu.train.loop import Trainer
 
         if args.num:
-            cfg = cfg.replace(run=cfg.run.__class__(
-                **{**cfg.run.__dict__, "num_sample_images": args.num}))
+            cfg = cfg.replace(run=dataclasses.replace(
+                cfg.run, num_sample_images=args.num))
         trainer = Trainer(cfg, workdir=args.workdir, use_mesh=False)
         try:
+            if trainer.ckpt.latest_step() is None:
+                print("WARNING: no checkpoint found; sampling from a "
+                      "freshly initialized generator", flush=True)
             path = trainer.save_samples(tag="sample", psi=args.psi)
             print(f"samples: {path}")
         finally:

@@ -44,6 +44,9 @@ class ModelConfig:
     mbstd_group_size: int | None = None  # None = whole per-device batch
     # ResNet-GAN only:
     base_channels: int = 128
+    # Rematerialize resolution blocks in backward (memory for FLOPs trade;
+    # lets 1024^2 batches fit HBM — SURVEY.md 7, config B:11):
+    remat: bool = False
 
     def nf(self, stage: int) -> int:
         """Feature-map count at resolution 2**stage (ProGAN channel rule)."""
@@ -62,6 +65,7 @@ class LossConfig:
     penalty_weight: float = 10.0       # lambda (wgan-gp) or gamma (r1)
     drift_weight: float = 1e-3         # ProGAN eps_drift; 0 disables
     penalty_every: int = 1             # lazy regularization interval (steps)
+    d_steps_per_g: int = 1             # n-critic: D updates per G update
 
 
 @dataclass(frozen=True)
@@ -123,6 +127,7 @@ class RunConfig:
     compute_dtype: str = "bfloat16"    # conv/matmul activation dtype on TPU
     data_axis: str = "data"            # mesh axis name for DP
     use_pallas: bool = False           # hand-written kernels for the hot ops
+    tensorboard: bool = False          # tf.summary scalars next to JSONL
 
 
 @dataclass(frozen=True)
@@ -186,7 +191,7 @@ def _preset_stylegan256() -> Config:
 def _preset_stylegan1024() -> Config:
     """BASELINE.json config 5: StyleGAN 1024^2 FFHQ, pod-slice DP."""
     return Config(
-        model=ModelConfig(model="stylegan", resolution=1024),
+        model=ModelConfig(model="stylegan", resolution=1024, remat=True),
         loss=LossConfig(loss="nonsaturating", penalty="r1",
                         penalty_weight=10.0, drift_weight=0.0),
         schedule=ScheduleConfig(progressive=True, start_res=8,

@@ -118,10 +118,14 @@ class ProGenerator(nn.Module):
     def setup(self):
         cfg = self.cfg
         max_lg = cfg.res_log2
+        # cfg.remat: recompute each resolution block in the backward pass
+        # instead of keeping its activations — trades FLOPs for HBM so the
+        # 1024^2 config fits (SURVEY.md 7, B:11).
+        block_cls = nn.remat(GBlock) if cfg.remat else GBlock
         self.input_block = GInputBlock(cfg.nf(1), name="block4")
         self.blocks = tuple(
-            GBlock(cfg.nf(stage - 1), blur=self.blur,
-                   name=f"block{2 ** stage}")
+            block_cls(cfg.nf(stage - 1), blur=self.blur,
+                      name=f"block{2 ** stage}")
             for stage in range(3, max_lg + 1))
         self.torgb = tuple(
             EqualConv(cfg.img_channels, 1, gain=1.0, name=f"torgb{2 ** lg}")
@@ -171,12 +175,13 @@ class ProDiscriminator(nn.Module):
     def setup(self):
         cfg = self.cfg
         max_lg = cfg.res_log2
+        block_cls = nn.remat(DBlock) if cfg.remat else DBlock
         self.fromrgb = tuple(
             EqualConv(cfg.nf(lg - 1), 1, name=f"fromrgb{2 ** lg}")
             for lg in range(2, max_lg + 1))
         self.blocks = tuple(
-            DBlock(cfg.nf(lg - 1), cfg.nf(lg - 2), blur=self.blur_resample,
-                   name=f"block{2 ** lg}")
+            block_cls(cfg.nf(lg - 1), cfg.nf(lg - 2),
+                      blur=self.blur_resample, name=f"block{2 ** lg}")
             for lg in range(3, max_lg + 1))
         self.out_block = DOutputBlock(cfg.nf(1), cfg.mbstd_group_size,
                                       name="block4_out")

@@ -37,8 +37,16 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch sharded along the data axis (leading dim)."""
+    """Place a host batch sharded along the data axis (leading dim).
+
+    Single-process: ``batch`` is the global batch, split over local devices.
+    Multi-host (pod slice): ``batch`` is this host's *local* shard — each
+    host feeds its own data (per-host input sharding, SURVEY.md 2.3) and the
+    pieces are assembled into one global array over DCN-spanning mesh.
+    """
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
     return jax.device_put(batch, sharding)
 
 

@@ -52,7 +52,7 @@ class Trainer:
         self.ckpt = CheckpointManager(
             os.path.join(workdir, cfg.run.checkpoint_dir),
             keep=cfg.run.keep_checkpoints)
-        self.logger = MetricLogger(workdir)
+        self.logger = MetricLogger(workdir, tensorboard=cfg.run.tensorboard)
 
         state = create_train_state(cfg, jax.random.PRNGKey(cfg.run.seed))
         restored = self.ckpt.restore(state)

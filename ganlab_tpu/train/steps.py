@@ -207,29 +207,47 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         new_params_d = optax.apply_updates(state.params_d, d_updates)
 
         # ------------------------------------------------------------------
-        # G step (against the updated D, like the reference)
+        # G step (against the updated D, like the reference). With
+        # loss.d_steps_per_g = n > 1 (n-critic training, e.g. classic
+        # WGAN-GP recipes) the G/EMA/w-avg update runs on every n-th step
+        # only, via lax.cond — both branches compile once, one executes.
         # ------------------------------------------------------------------
         def g_objective(params_g):
             fake, w_mean = gen_forward(params_g, k_zg, k_ng, alpha, batch)
             fake_s = d_apply(new_params_d, fake, alpha)
             return g_loss_fn_base(fake_s), w_mean
 
-        (g_loss, w_mean), g_grads = jax.value_and_grad(
-            g_objective, has_aux=True)(state.params_g)
-        g_grads = pmean(g_grads)
-        g_updates, new_opt_g = opt_g.update(g_grads, state.opt_g,
-                                            state.params_g)
-        new_params_g = optax.apply_updates(state.params_g, g_updates)
+        def run_g_update(operand):
+            params_g, opt_g_state, ema, w_avg = operand
+            (g_loss, w_mean), g_grads = jax.value_and_grad(
+                g_objective, has_aux=True)(params_g)
+            g_grads = pmean(g_grads)
+            g_updates, new_opt_g = opt_g.update(g_grads, opt_g_state,
+                                                params_g)
+            new_params_g = optax.apply_updates(params_g, g_updates)
+            new_ema = _ema_update(ema, new_params_g, cfg.optim.ema_beta)
+            if is_style:
+                w_mean = pmean(w_mean)
+                beta = jnp.float32(cfg.model.w_avg_beta)
+                new_w_avg = w_avg * beta + w_mean * (1.0 - beta)
+            else:
+                new_w_avg = w_avg
+            return new_params_g, new_opt_g, new_ema, new_w_avg, g_loss
 
-        new_ema = _ema_update(state.params_ema, new_params_g,
-                              cfg.optim.ema_beta)
-
-        if is_style and w_mean is not None:
-            w_mean = pmean(w_mean)
-            beta = jnp.float32(cfg.model.w_avg_beta)
-            new_w_avg = state.w_avg * beta + w_mean * (1.0 - beta)
+        operand = (state.params_g, state.opt_g, state.params_ema,
+                   state.w_avg)
+        n_critic = max(1, lc.d_steps_per_g)
+        if n_critic == 1:
+            (new_params_g, new_opt_g, new_ema, new_w_avg,
+             g_loss) = run_g_update(operand)
         else:
-            new_w_avg = state.w_avg
+            do_g = (state.step % n_critic) == (n_critic - 1)
+            (new_params_g, new_opt_g, new_ema, new_w_avg,
+             g_loss) = lax.cond(
+                do_g,
+                run_g_update,
+                lambda op: (*op, jnp.float32(0.0)),
+                operand)
 
         n_dev = lax.psum(1, axis_name) if axis_name else 1
         global_batch = jnp.float32(batch * n_dev)

@@ -8,11 +8,24 @@ import time
 
 
 class MetricLogger:
-    def __init__(self, log_dir: str | None = None, name: str = "train"):
+    """JSONL + stdout, with optional TensorBoard scalars (tensorflow is an
+    optional dependency; enabled via ``tensorboard=True`` when present)."""
+
+    def __init__(self, log_dir: str | None = None, name: str = "train",
+                 tensorboard: bool = False):
         self._fh = None
+        self._tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._fh = open(os.path.join(log_dir, f"{name}.jsonl"), "a")
+            if tensorboard:
+                try:
+                    import tensorflow as tf
+
+                    self._tb = tf.summary.create_file_writer(
+                        os.path.join(log_dir, "tb"))
+                except ImportError:
+                    pass
         self._t0 = time.time()
 
     def log(self, step: int, metrics: dict, echo: bool = True) -> None:
@@ -22,6 +35,13 @@ class MetricLogger:
         if self._fh:
             self._fh.write(json.dumps(row) + "\n")
             self._fh.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in row.items():
+                    if isinstance(v, float) and k not in ("time",):
+                        tf.summary.scalar(k, v, step=step)
         if echo:
             parts = " ".join(f"{k}={v:.4g}" if isinstance(v, float)
                              else f"{k}={v}" for k, v in row.items()
@@ -31,3 +51,5 @@ class MetricLogger:
     def close(self) -> None:
         if self._fh:
             self._fh.close()
+        if self._tb is not None:
+            self._tb.close()

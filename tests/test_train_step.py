@@ -191,3 +191,40 @@ def test_lazy_regularization_weight_scaling():
         _, m = step(state, batch)
         vals[k] = float(m["penalty"])
     assert vals[3] == pytest.approx(3.0 * vals[1], rel=1e-4)
+
+
+def test_n_critic_g_updates_every_nth_step():
+    """d_steps_per_g=3: G params change only on steps 3, 6, ... and g_loss
+    is reported only there."""
+    cfg = tiny_config("resnetgan", **{"loss.d_steps_per_g": 3})
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_single_step(build_train_step(cfg, phase))
+    g_prev = np.asarray(jax.tree.leaves(state.params_g)[0])
+    changes, g_losses = [], []
+    for i in range(6):
+        state, m = step(state, fake_batch(4, 16, seed=i))
+        g_now = np.asarray(jax.tree.leaves(state.params_g)[0])
+        changes.append(not np.array_equal(g_prev, g_now))
+        g_losses.append(float(m["g_loss"]))
+        g_prev = g_now
+    # steps counted from 0: G updates when step % 3 == 2 -> iters 2 and 5.
+    assert changes == [False, False, True, False, False, True]
+    assert g_losses[0] == 0.0 and g_losses[2] != 0.0
+
+
+def test_remat_preserves_values():
+    """model.remat recomputes activations but must not change results."""
+    batch = fake_batch(4, 16, seed=3)
+    outs = []
+    for remat in (False, True):
+        cfg = tiny_config("progan", **{"model.remat": remat})
+        phase = build_phases(cfg.schedule, cfg.model)[-1]
+        state = create_train_state(cfg, jax.random.PRNGKey(2))
+        step = make_single_step(build_train_step(cfg, phase))
+        state, m = step(state, batch)
+        outs.append((float(m["d_loss"]), float(m["g_loss"]),
+                     np.asarray(jax.tree.leaves(state.params_g)[0])))
+    assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-5)
+    assert outs[0][1] == pytest.approx(outs[1][1], rel=1e-5)
+    np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-5, atol=1e-7)
