@@ -176,6 +176,12 @@ def make_source(data_cfg: DataConfig, resolution: int, seed: int = 0):
         return Cifar10Source(data_cfg.data_dir, seed=seed)
     if name == "image_folder":
         return ImageFolderSource(data_cfg.data_dir, resolution, seed=seed)
+    if name == "image_folder_stream":
+        from ganlab_tpu.data.grain_source import GrainImageFolderSource
+
+        return GrainImageFolderSource(data_cfg.data_dir, resolution,
+                                      seed=seed,
+                                      num_workers=data_cfg.num_workers)
     if name == "tfrecords" or name == "npy":
         return NpySource(data_cfg.data_dir, seed=seed)
     raise ValueError(f"unknown dataset {name!r}")

@@ -46,7 +46,16 @@ def adain(x: jax.Array, style_scale: jax.Array, style_bias: jax.Array,
 
     x: (N, H, W, C); style_scale/style_bias: (N, C) — the outputs of the
     learned affine "A" on w (the scale affine's bias is initialized to 1 in
-    the model so y_s starts at 1).
+    the model so y_s starts at 1). With the Pallas backend enabled this
+    dispatches to the one-pass fused kernel when a per-image tile fits VMEM.
     """
+    from ganlab_tpu.ops import pallas as plops
+
+    if plops.use_pallas():
+        from ganlab_tpu.ops.pallas.adain import adain_pallas, fits_vmem
+
+        n, h, w, c = x.shape
+        if fits_vmem(h, w, c):
+            return adain_pallas(x, style_scale, style_bias, eps)
     y = instance_norm(x, eps)
     return y * style_scale[:, None, None, :] + style_bias[:, None, None, :]

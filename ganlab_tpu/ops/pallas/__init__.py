@@ -42,3 +42,4 @@ from ganlab_tpu.ops.pallas.resample import (
     blur_downsample_2x_pallas,
 )
 from ganlab_tpu.ops.pallas.mbstd import minibatch_stddev_pallas
+from ganlab_tpu.ops.pallas.adain import adain_pallas

@@ -89,3 +89,27 @@ def test_make_source_dispatch():
         make_source(DataConfig(dataset="bogus"), 32)
     with pytest.raises(ValueError):
         make_source(DataConfig(dataset="cifar10"), 32)  # needs data_dir
+
+
+def test_grain_image_folder_source(tmp_path):
+    from PIL import Image
+
+    from ganlab_tpu.data.grain_source import GrainImageFolderSource
+
+    src_dir = tmp_path / "gimgs"
+    src_dir.mkdir()
+    rng = np.random.RandomState(5)
+    for i in range(6):
+        Image.fromarray(rng.randint(0, 255, (24, 20, 3), dtype=np.uint8)
+                        ).save(src_dir / f"{i}.png")
+
+    src = GrainImageFolderSource(str(src_dir), resolution=16, seed=1,
+                                 num_workers=0)
+    b = src.batch(4, 16)
+    assert b.shape == (4, 16, 16, 3) and b.dtype == np.uint8
+    # Lower resolution serving rebuilds the pipeline at that res.
+    b8 = src.batch(4, 8)
+    assert b8.shape == (4, 8, 8, 3)
+    # Streaming repeats forever.
+    for _ in range(3):
+        assert src.batch(4, 16).shape == (4, 16, 16, 3)
