@@ -72,6 +72,13 @@ def main(argv=None) -> int:
     _add_common(p_fid)
     p_fid.add_argument("--num-samples", type=int, default=10000)
 
+    p_interp = sub.add_parser("interpolate",
+                              help="latent-walk frame grid from a checkpoint")
+    _add_common(p_interp)
+    p_interp.add_argument("--anchors", type=int, default=4)
+    p_interp.add_argument("--steps", type=int, default=8)
+    p_interp.add_argument("--psi", type=float, default=None)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "prepare-data":
@@ -132,6 +139,37 @@ def main(argv=None) -> int:
         score = evaluate_checkpoint_fid(cfg, workdir=args.workdir,
                                         num_samples=args.num_samples)
         print(f"FID: {score:.4f}")
+        return 0
+
+    if args.cmd == "interpolate":
+        import os
+
+        import jax
+        import numpy as np
+
+        from ganlab_tpu.train.loop import Trainer
+        from ganlab_tpu.train.steps import build_sample_fn
+        from ganlab_tpu.utils import save_image_grid
+        from ganlab_tpu.utils.latents import interpolation_path
+
+        trainer = Trainer(cfg, workdir=args.workdir, use_mesh=False)
+        try:
+            zs = interpolation_path(jax.random.PRNGKey(cfg.run.seed + 2),
+                                    args.anchors, args.steps,
+                                    cfg.model.latent_dim)
+            sample = jax.jit(build_sample_fn(cfg, cfg.model.res_log2))
+            psi = args.psi if args.psi is not None \
+                else cfg.model.truncation_psi
+            state = trainer.state
+            imgs = sample(state.params_ema, state.w_avg, zs,
+                          jax.random.PRNGKey(0), psi, 1.0)
+            path = os.path.join(args.workdir, cfg.run.sample_dir,
+                                "interpolation.png")
+            save_image_grid(np.asarray(jax.device_get(imgs)), path,
+                            ncol=args.steps)
+            print(f"interpolation: {path}")
+        finally:
+            trainer.close()
         return 0
 
     return 1

@@ -27,7 +27,11 @@ from ganlab_tpu.parallel import (
 from ganlab_tpu.train.checkpoint import CheckpointManager
 from ganlab_tpu.train.schedule import build_phases, phase_at
 from ganlab_tpu.train.state import create_train_state
-from ganlab_tpu.train.steps import build_sample_fn, build_train_step
+from ganlab_tpu.train.steps import (
+    build_sample_fn,
+    build_train_step,
+    make_lazy_stepper,
+)
 from ganlab_tpu.utils import MetricLogger, gen_latents, save_image_grid
 
 
@@ -71,9 +75,11 @@ class Trainer:
     @property
     def source(self):
         if self._source is None:
-            self._source = make_source(self.cfg.data,
-                                       self.cfg.model.resolution,
-                                       seed=self.cfg.run.seed)
+            # Per-host seed offset: each host of a pod slice draws a
+            # different stream for its local input shard (SURVEY.md 2.3).
+            self._source = make_source(
+                self.cfg.data, self.cfg.model.resolution,
+                seed=self.cfg.run.seed + 7919 * jax.process_index())
         return self._source
 
     # ------------------------------------------------------------------
@@ -81,10 +87,13 @@ class Trainer:
         key = (phase.res_log2, phase.kind, phase.start_img, phase.end_img)
         if key not in self._steps:
             axis = self.cfg.run.data_axis if self.mesh is not None else None
-            raw = build_train_step(self.cfg, phase, axis_name=axis)
-            self._steps[key] = (make_parallel_step(raw, self.mesh)
-                               if self.mesh is not None
-                               else make_single_step(raw))
+            if self.mesh is not None:
+                wrap = lambda s: make_parallel_step(s, self.mesh)  # noqa: E731
+            else:
+                wrap = make_single_step
+            self._steps[key] = make_lazy_stepper(
+                self.cfg, phase, wrap, axis_name=axis,
+                initial_step=int(jax.device_get(self.state.step)))
         return self._steps[key]
 
     def _sampler(self, res_log2: int) -> Callable:

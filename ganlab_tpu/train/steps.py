@@ -104,7 +104,8 @@ def build_generator_forward(cfg: Config, res_log2: int):
 
 def build_train_step(cfg: Config, phase: PhaseSpec,
                      axis_name: str | None = None,
-                     fold_device_rng: bool = True) -> Callable:
+                     fold_device_rng: bool = True,
+                     penalty_override: bool | None = None) -> Callable:
     """Pure (state, real_uint8) -> (state, metrics) for one phase.
 
     Wrap with jax.jit (single device) or shard_map+jit (DP) via
@@ -114,6 +115,13 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
     (test-only: with identical per-device data it turns DP into an exact
     replica of the single-device step, giving a bitwise equality check of
     the psum placement and state replication).
+
+    Lazy regularization (``loss.penalty_every`` = k > 1): rather than one
+    program with a ``lax.cond`` over both branches (2x compile size), the
+    host compiles TWO smaller programs — ``penalty_override=True`` (penalty
+    scaled by k) and ``False`` (no penalty) — and picks per step from the
+    optimizer-step counter (see ``make_lazy_stepper``). With
+    ``penalty_override=None`` the penalty (if any) is applied every step.
     """
     res_log2 = phase.res_log2
     g_model, gen_forward = build_generator_forward(cfg, res_log2)
@@ -169,11 +177,14 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             penalty = jnp.float32(0.0)
             critic = lambda x: d_apply(params_d, x, alpha)
             if with_penalty:
-                # Lazy regularization (StyleGAN2 sec. 5.1): applying the
-                # penalty every k-th step with weight scaled by k keeps the
-                # expected gradient while skipping the double-backward on
-                # the other k-1 steps.
-                w = lc.penalty_weight * lc.penalty_every
+                # Lazy regularization (StyleGAN2 sec. 5.1): the penalty is
+                # applied every k-th step with weight scaled by k, keeping
+                # the expected gradient while skipping the double-backward
+                # on the other k-1 steps. The k-scaling applies only to the
+                # lazy 'on' program (penalty_override=True); the every-step
+                # program (None) uses the plain weight.
+                w = lc.penalty_weight * (
+                    lc.penalty_every if penalty_override is True else 1)
                 if lc.penalty == "wgan-gp":
                     penalty = L.wgan_gp(critic, real, fake_d, k_gp, w)
                 elif lc.penalty == "r1":
@@ -186,20 +197,10 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             return loss + penalty, aux
 
         has_penalty = lc.penalty in ("wgan-gp", "r1")
-        lazy = has_penalty and lc.penalty_every > 1
-        if not lazy:
-            (_, d_aux), d_grads = jax.value_and_grad(
-                lambda p: d_objective(p, has_penalty), has_aux=True)(
-                    state.params_d)
-        else:
-            # Both branches compile; only one executes per step.
-            do_pen = (state.step % lc.penalty_every) == 0
-            (_, d_aux), d_grads = lax.cond(
-                do_pen,
-                lambda p: jax.value_and_grad(
-                    lambda q: d_objective(q, True), has_aux=True)(p),
-                lambda p: jax.value_and_grad(
-                    lambda q: d_objective(q, False), has_aux=True)(p),
+        with_penalty = (has_penalty if penalty_override is None
+                        else penalty_override)
+        (_, d_aux), d_grads = jax.value_and_grad(
+            lambda p: d_objective(p, with_penalty), has_aux=True)(
                 state.params_d)
         d_grads = pmean(d_grads)
         d_updates, new_opt_d = opt_d.update(d_grads, state.opt_d,
@@ -304,3 +305,36 @@ def build_sample_fn(cfg: Config, res_log2: int,
         return jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
 
     return sample
+
+
+def make_lazy_stepper(cfg: Config, phase: PhaseSpec,
+                      wrap: Callable[[Callable], Callable],
+                      axis_name: str | None = None,
+                      initial_step: int = 0) -> Callable:
+    """Host-side lazy-regularization dispatcher.
+
+    ``wrap`` is the compile wrapper (make_single_step / make_parallel_step
+    partial). With ``loss.penalty_every`` = k > 1 this compiles two small
+    programs — penalty-on (k-scaled) and penalty-off — and picks per call
+    from the optimizer-step counter, which the caller seeds with the
+    restored ``initial_step`` on resume. k == 1 compiles one program.
+
+    Returns a callable (state, batch) -> (state, metrics).
+    """
+    k = cfg.loss.penalty_every
+    has_penalty = cfg.loss.penalty in ("wgan-gp", "r1")
+    if not has_penalty or k <= 1:
+        return wrap(build_train_step(cfg, phase, axis_name=axis_name))
+
+    step_on = wrap(build_train_step(cfg, phase, axis_name=axis_name,
+                                    penalty_override=True))
+    step_off = wrap(build_train_step(cfg, phase, axis_name=axis_name,
+                                     penalty_override=False))
+    counter = {"i": int(initial_step)}
+
+    def stepper(state, batch):
+        use_pen = (counter["i"] % k) == 0
+        counter["i"] += 1
+        return (step_on if use_pen else step_off)(state, batch)
+
+    return stepper

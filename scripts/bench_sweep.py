@@ -29,7 +29,7 @@ def main():
     from ganlab_tpu.parallel import make_single_step
     from ganlab_tpu.train.schedule import build_phases
     from ganlab_tpu.train.state import create_train_state
-    from ganlab_tpu.train.steps import build_train_step
+    from ganlab_tpu.train.steps import make_lazy_stepper
 
     if use_pallas:
         from ganlab_tpu.ops import pallas as plops
@@ -44,7 +44,7 @@ def main():
     })
     phase = build_phases(cfg.schedule, cfg.model)[-1]
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step = make_single_step(build_train_step(cfg, phase))
+    step = make_lazy_stepper(cfg, phase, make_single_step)
 
     rng = np.random.RandomState(0)
     batches = [rng.randint(0, 256, (batch, res, res, 3), dtype=np.uint8)

@@ -163,12 +163,14 @@ def test_sample_fn_truncation():
 
 
 def test_lazy_regularization_interval():
-    """penalty_every=2: penalty appears on even optimizer steps only,
-    with weight scaled by the interval."""
+    """penalty_every=2: penalty appears on even optimizer steps only
+    (host-side dispatch between the two compiled programs)."""
+    from ganlab_tpu.train.steps import make_lazy_stepper
+
     cfg = tiny_config("resnetgan", **{"loss.penalty_every": 2})
     phase = build_phases(cfg.schedule, cfg.model)[-1]
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step = make_single_step(build_train_step(cfg, phase))
+    step = make_lazy_stepper(cfg, phase, make_single_step)
     pens = []
     for i in range(4):
         state, m = step(state, fake_batch(4, 16, seed=i))
@@ -181,16 +183,33 @@ def test_lazy_regularization_interval():
 def test_lazy_regularization_weight_scaling():
     """With identical state/batch, the lazy penalty (interval k) equals k x
     the eager penalty."""
+    from ganlab_tpu.train.steps import make_lazy_stepper
+
     batch = fake_batch(4, 16, seed=9)
     vals = {}
     for k in (1, 3):
         cfg = tiny_config("resnetgan", **{"loss.penalty_every": k})
         phase = build_phases(cfg.schedule, cfg.model)[-1]
         state = create_train_state(cfg, jax.random.PRNGKey(5))
-        step = make_single_step(build_train_step(cfg, phase))
+        step = make_lazy_stepper(cfg, phase, make_single_step)
         _, m = step(state, batch)
         vals[k] = float(m["penalty"])
     assert vals[3] == pytest.approx(3.0 * vals[1], rel=1e-4)
+
+
+def test_lazy_stepper_resume_offset():
+    """On resume the lazy cadence continues from the restored step count."""
+    from ganlab_tpu.train.steps import make_lazy_stepper
+
+    cfg = tiny_config("resnetgan", **{"loss.penalty_every": 2})
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    # Pretend we restored at step 1: next step (odd) must skip the penalty.
+    step = make_lazy_stepper(cfg, phase, make_single_step, initial_step=1)
+    state, m = step(state, fake_batch(4, 16))
+    assert float(m["penalty"]) == 0.0
+    state, m = step(state, fake_batch(4, 16, seed=1))
+    assert float(m["penalty"]) > 0.0
 
 
 def test_n_critic_g_updates_every_nth_step():

@@ -126,3 +126,67 @@ def test_cli_prepare_data(tmp_path):
                "--max-res", "8"])
     assert rc == 0
     assert sorted(os.listdir(out)) == ["images_4.npy", "images_8.npy"]
+
+
+def test_latent_interpolation_helpers():
+    import jax
+    import jax.numpy as jnp
+
+    from ganlab_tpu.utils.latents import interpolation_path, lerp, slerp
+
+    a = jnp.array([[1.0, 0.0]])
+    b = jnp.array([[0.0, 1.0]])
+    np.testing.assert_allclose(np.asarray(lerp(a, b, 0.5)), [[0.5, 0.5]])
+    mid = np.asarray(slerp(a, b, 0.5))[0]
+    # slerp midpoint of orthogonal unit vectors stays unit-norm.
+    assert np.linalg.norm(mid) == pytest.approx(1.0, abs=1e-5)
+    # endpoints exact
+    np.testing.assert_allclose(np.asarray(slerp(a, b, 0.0)), np.asarray(a),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(slerp(a, b, 1.0)), np.asarray(b),
+                               atol=1e-6)
+
+    path = interpolation_path(jax.random.PRNGKey(0), 3, 4, 8)
+    assert path.shape == (12, 8)
+    assert bool(jnp.all(jnp.isfinite(path)))
+
+
+def test_cli_interpolate(tmp_path):
+    from ganlab_tpu.cli import main
+
+    workdir = str(tmp_path / "run")
+    common = [
+        "--set", "model.resolution=16", "--set", "model.latent_dim=8",
+        "--set", "model.base_channels=8",
+        "--set", "run.compute_dtype=float32",
+        "--set", "schedule.batch_schedule={16: 4}",
+        "--set", "schedule.total_kimg=0.1",
+    ]
+    assert main(["train", "--preset", "resnetgan-cifar10", "--workdir",
+                 workdir, "--max-steps", "1", "--no-mesh",
+                 "--set", "data.dataset=synthetic", *common]) == 0
+    assert main(["interpolate", "--preset", "resnetgan-cifar10",
+                 "--workdir", workdir, "--anchors", "2", "--steps", "3",
+                 *common]) == 0
+    assert os.path.exists(os.path.join(workdir, "samples",
+                                       "interpolation.png"))
+
+
+def test_cli_eval_fid(tmp_path):
+    """eval-fid runs end-to-end on a tiny checkpoint with the
+    random-feature extractor (no Inception weights in this container)."""
+    from ganlab_tpu.cli import main
+
+    workdir = str(tmp_path / "run")
+    common = [
+        "--set", "model.resolution=16", "--set", "model.latent_dim=8",
+        "--set", "model.base_channels=8",
+        "--set", "run.compute_dtype=float32",
+        "--set", "schedule.batch_schedule={16: 4}",
+        "--set", "schedule.total_kimg=0.1",
+        "--set", "data.dataset=synthetic",
+    ]
+    assert main(["train", "--preset", "resnetgan-cifar10", "--workdir",
+                 workdir, "--max-steps", "1", "--no-mesh", *common]) == 0
+    assert main(["eval-fid", "--preset", "resnetgan-cifar10",
+                 "--workdir", workdir, "--num-samples", "16", *common]) == 0
