@@ -21,9 +21,9 @@ import json
 import time
 
 V100_BASELINE_IMG_PER_SEC = 40.0
-BATCH_PER_DEVICE = 16
+BATCH_PER_DEVICE = 32        # sweep: 32 > 16 by ~4% img/s (BASELINE.md)
 WARMUP_STEPS = 3
-TIMED_STEPS = 20
+TIMED_STEPS = 24             # multiple of the lazy-R1 interval (8)
 
 
 def main() -> None:
@@ -42,9 +42,10 @@ def main() -> None:
     from ganlab_tpu.config import get_config
     from ganlab_tpu.train.schedule import build_phases
     from ganlab_tpu.train.state import create_train_state
-    from ganlab_tpu.train.steps import build_train_step
+    from ganlab_tpu.train.steps import make_lazy_stepper
     from ganlab_tpu.parallel import make_single_step
 
+    # The preset's recommended recipe: lazy R1 (penalty_every=8), bf16.
     cfg = get_config("stylegan-256", **{
         "schedule.batch_schedule": {256: BATCH_PER_DEVICE},
         "schedule.progressive": False,
@@ -55,7 +56,7 @@ def main() -> None:
     note(f"devices: {jax.devices()}")
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     note("state initialized")
-    step = make_single_step(build_train_step(cfg, phase))
+    step = make_lazy_stepper(cfg, phase, make_single_step)
 
     rng = np.random.RandomState(0)
     batches = [rng.randint(0, 256, (BATCH_PER_DEVICE, 256, 256, 3),

@@ -36,6 +36,15 @@ def interpret_mode() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
+def resample_compiles_on_tpu() -> bool:
+    """The resample kernels' horizontal phase slices the tiled sublane dim
+    at unaligned offsets, which Mosaic rejects on real TPUs (verified:
+    'Slice shape along dimension 2 must be aligned to tiling (8)'). Until
+    the Mosaic-aligned rewrite lands they only run in interpreter mode;
+    on TPU the dispatch uses the polyphase XLA path instead."""
+    return False
+
+
 from ganlab_tpu.ops.pallas.pixelnorm import pixel_norm_pallas
 from ganlab_tpu.ops.pallas.resample import (
     upsample_blur_2x_pallas,

@@ -66,6 +66,71 @@ def _default_taps(taps) -> bool:
     return tuple(float(t) for t in taps) == (1.0, 2.0, 1.0)
 
 
+def upsample_blur_2x_poly(x: jax.Array) -> jax.Array:
+    """Polyphase fused nearest-2x-upsample + [1,2,1] blur, pure elementwise.
+
+    Per axis (derivation in ops/pallas/resample.py):
+        out[2i]   = 0.25 x[i-1] + 0.75 x[i]
+        out[2i+1] = 0.75 x[i]   + 0.25 x[i+1]
+    Two shifted lerps per axis + an interleave — XLA fuses the whole thing
+    into one VPU pass, with no depthwise-conv machinery at all.
+    """
+    n, h, w, c = x.shape
+
+    def up_axis(v, axis):
+        size = v.shape[axis]
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (1, 1)
+        vp = jnp.pad(v, pad)
+        prev = lax.slice_in_dim(vp, 0, size, axis=axis)
+        cur = lax.slice_in_dim(vp, 1, size + 1, axis=axis)
+        nxt = lax.slice_in_dim(vp, 2, size + 2, axis=axis)
+        even = 0.25 * prev + 0.75 * cur
+        odd = 0.75 * cur + 0.25 * nxt
+        inter = jnp.stack([even, odd], axis=axis + 1)
+        new_shape = list(v.shape)
+        new_shape[axis] = 2 * size
+        return inter.reshape(new_shape)
+
+    dt = x.dtype
+    y = up_axis(x.astype(jnp.float32), 1)
+    y = up_axis(y, 2)
+    return y.astype(dt)
+
+
+def blur_downsample_2x_poly(x: jax.Array) -> jax.Array:
+    """Polyphase fused [1,2,1] blur + 2x avg-pool, pure elementwise.
+
+    Per axis: out[i] = 0.125 x[2i-1] + 0.375 x[2i] + 0.375 x[2i+1]
+                      + 0.125 x[2i+2].
+    """
+    def down_axis(v, axis):
+        size = v.shape[axis] // 2
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (1, 1)
+        vp = jnp.pad(v, pad)
+
+        def ph(start):
+            sl = lax.slice_in_dim(vp, start, start + 2 * size, axis=axis)
+            shape = list(sl.shape)
+            shape[axis] = size
+            shape.insert(axis + 1, 2)
+            return sl.reshape(shape)
+
+        p0 = ph(0)   # pairs (x[2i-1], x[2i])
+        p1 = ph(2)   # pairs (x[2i+1], x[2i+2])
+        a = lax.index_in_dim(p0, 0, axis + 1, keepdims=False)
+        b = lax.index_in_dim(p0, 1, axis + 1, keepdims=False)
+        cc = lax.index_in_dim(p1, 0, axis + 1, keepdims=False)
+        d = lax.index_in_dim(p1, 1, axis + 1, keepdims=False)
+        return 0.125 * a + 0.375 * b + 0.375 * cc + 0.125 * d
+
+    dt = x.dtype
+    y = down_axis(x.astype(jnp.float32), 1)
+    y = down_axis(y, 2)
+    return y.astype(dt)
+
+
 def upsample_blur_2x(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
     """Fused nearest-2x-upsample + FIR blur in one transposed depthwise conv.
 
@@ -81,7 +146,9 @@ def upsample_blur_2x(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
         from ganlab_tpu.ops import pallas as plops
 
         if plops.use_pallas():
-            return plops.upsample_blur_2x_pallas(x)
+            if plops.interpret_mode() or plops.resample_compiles_on_tpu():
+                return plops.upsample_blur_2x_pallas(x)
+            return upsample_blur_2x_poly(x)
     t = np.asarray(taps, dtype=np.float32)
     # nearest-up = zero-stuff * box([1,1]);  then blur(t)  =>  t (*) [1,1]
     t2 = np.convolve(t, [1.0, 1.0])
@@ -116,7 +183,9 @@ def blur_downsample_2x(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
         from ganlab_tpu.ops import pallas as plops
 
         if plops.use_pallas():
-            return plops.blur_downsample_2x_pallas(x)
+            if plops.interpret_mode() or plops.resample_compiles_on_tpu():
+                return plops.blur_downsample_2x_pallas(x)
+            return blur_downsample_2x_poly(x)
     t = np.asarray(taps, dtype=np.float32)
     t2 = np.convolve(t, [0.5, 0.5])
     k2 = np.outer(t2, t2)

@@ -150,3 +150,26 @@ def test_dp_devices_draw_different_latents(mesh):
     assert imgs.shape[0] == 16
     # Device 0's images differ from device 1's.
     assert not np.allclose(imgs[0], imgs[2])
+
+
+def test_trainer_end_to_end_on_mesh(tmp_path, mesh):
+    """Full Trainer loop (prefetch, shard placement, checkpointing) over the
+    8-device mesh."""
+    from ganlab_tpu.data import SyntheticSource
+    from ganlab_tpu.train.loop import Trainer
+
+    cfg = tiny_config()
+    src = SyntheticSource(16, num_images=32)
+    tr = Trainer(cfg, workdir=str(tmp_path), use_mesh=True, source=src)
+    try:
+        assert tr.n_dev == 8
+        tr.train(max_steps=3)
+        assert int(jax.device_get(tr.state.step)) == 3
+        # global batch = 2/device * 8 devices = 16 per step
+        assert float(jax.device_get(tr.state.shown_imgs)) == 48.0
+        import os
+
+        assert os.path.exists(tr.save_samples(tag="dp"))
+        assert tr.ckpt.latest_step() == 3
+    finally:
+        tr.close()

@@ -204,3 +204,38 @@ class TestFadeIn:
         f(jnp.float32(0.1), new, old)
         f(jnp.float32(0.9), new, old)
         assert len(traces) == 1
+
+
+class TestPolyphaseResample:
+    """The strided-slice polyphase forms equal the depthwise-conv forms."""
+
+    def test_up_poly_equals_conv(self):
+        from ganlab_tpu.ops.upfirdn import upsample_blur_2x_poly
+
+        x = jnp.array(rand(2, 8, 8, 4, seed=21))
+        np.testing.assert_allclose(
+            np.asarray(upsample_blur_2x_poly(x)),
+            np.asarray(ops.upsample_blur_2x(x)), rtol=1e-5, atol=1e-5)
+
+    def test_down_poly_equals_conv(self):
+        from ganlab_tpu.ops.upfirdn import blur_downsample_2x_poly
+
+        x = jnp.array(rand(2, 8, 8, 4, seed=22))
+        np.testing.assert_allclose(
+            np.asarray(blur_downsample_2x_poly(x)),
+            np.asarray(ops.blur_downsample_2x(x)), rtol=1e-5, atol=1e-5)
+
+    def test_poly_grads_match(self):
+        from ganlab_tpu.ops.upfirdn import (
+            blur_downsample_2x_poly,
+            upsample_blur_2x_poly,
+        )
+
+        x = jnp.array(rand(1, 8, 8, 2, seed=23))
+        for poly, conv in ((upsample_blur_2x_poly, ops.upsample_blur_2x),
+                           (blur_downsample_2x_poly,
+                            ops.blur_downsample_2x)):
+            gp = jax.grad(lambda a: jnp.sum(jnp.sin(poly(a))))(x)
+            gc = jax.grad(lambda a: jnp.sum(jnp.sin(conv(a))))(x)
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(gc),
+                                       rtol=1e-5, atol=1e-5)
