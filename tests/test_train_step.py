@@ -247,3 +247,19 @@ def test_remat_preserves_values():
     assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-5)
     assert outs[0][1] == pytest.approx(outs[1][1], rel=1e-5)
     np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_compute_dtype_step():
+    """The full step runs with bfloat16 activations (the TPU default) and
+    keeps params/EMA in f32 with finite losses."""
+    cfg = tiny_config("stylegan", **{"run.compute_dtype": "bfloat16"})
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_single_step(build_train_step(cfg, phase))
+    state, m = step(state, fake_batch(4, 16))
+    for k in ("d_loss", "g_loss", "penalty"):
+        assert np.isfinite(float(m[k])), k
+    for leaf in jax.tree.leaves(state.params_g):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree.leaves(state.params_ema):
+        assert leaf.dtype == jnp.float32

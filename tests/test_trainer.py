@@ -190,3 +190,30 @@ def test_cli_eval_fid(tmp_path):
                  workdir, "--max-steps", "1", "--no-mesh", *common]) == 0
     assert main(["eval-fid", "--preset", "resnetgan-cifar10",
                  "--workdir", workdir, "--num-samples", "16", *common]) == 0
+
+
+def test_learner_api_surface(tmp_path):
+    """The reference-flavored Learner wrappers train/save/load/sample."""
+    from ganlab_tpu.learners import ResNetGANLearner, StyleGANLearner
+
+    learner = ResNetGANLearner(
+        workdir=str(tmp_path),
+        **{
+            "model.resolution": 16, "model.latent_dim": 8,
+            "model.base_channels": 8, "run.compute_dtype": "float32",
+            "run.num_sample_images": 4,
+            "schedule.batch_schedule": {16: 4},
+            "schedule.total_kimg": 0.1, "data.dataset": "synthetic",
+        })
+    try:
+        learner.train(max_steps=2)
+        learner.save_model()
+        assert learner.load_model()
+        path = learner.gen_samples(tag="learner")
+        assert os.path.exists(path)
+        assert int(jax.device_get(learner.state.step)) == 2
+    finally:
+        learner.close()
+
+    with pytest.raises(ValueError):
+        StyleGANLearner(config=learner.config)  # wrong model family
