@@ -15,6 +15,7 @@ from ganlab_tpu.eval.fid import (
     compute_statistics,
     frechet_distance,
     compute_fid,
+    compute_kid,
     RandomConvExtractor,
     get_extractor,
 )

@@ -81,6 +81,26 @@ class StyleLayer(nn.Module):
         return adain(x, ys.astype(x.dtype), yb.astype(x.dtype))
 
 
+class SynthesisBlock(nn.Module):
+    """One synthesis resolution block: up(+blur) -> conv/epilogue x2.
+
+    A standalone module so ``model.remat`` can rematerialize whole blocks
+    in the backward pass (1024^2 HBM fit, SURVEY.md 7 B:11).
+    """
+
+    features: int
+    blur: bool = True
+
+    @nn.compact
+    def __call__(self, x, w_a, w_b):
+        x = upsample_blur_2x(x) if self.blur else upsample_nearest_2x(x)
+        x = EqualConv(self.features, 3, use_bias=False, name="conv0")(x)
+        x = StyleLayer(self.features, name="style0")(x, w_a)
+        x = EqualConv(self.features, 3, use_bias=False, name="conv1")(x)
+        x = StyleLayer(self.features, name="style1")(x, w_b)
+        return x
+
+
 class SynthesisNetwork(nn.Module):
     """The style-based synthesis network g(w); progressive like ProGAN."""
 
@@ -91,26 +111,16 @@ class SynthesisNetwork(nn.Module):
         cfg = self.cfg
         max_lg = cfg.res_log2
         self.const = ConstInput(cfg.nf(1), name="const")
-        convs: dict[str, nn.Module] = {}
-        styles: dict[str, nn.Module] = {}
         # Resolution 4: [epilogue on const, conv3x3 + epilogue].
         self.conv4 = EqualConv(cfg.nf(1), 3, use_bias=False, name="conv4")
         self.style4_0 = StyleLayer(cfg.nf(1), name="style4_0")
         self.style4_1 = StyleLayer(cfg.nf(1), name="style4_1")
-        # Resolutions 8..max: [up(+blur) conv, epilogue, conv, epilogue].
-        self.up_convs = tuple(
-            EqualConv(cfg.nf(lg - 1), 3, use_bias=False,
-                      name=f"conv{2 ** lg}_0")
-            for lg in range(3, max_lg + 1))
-        self.mid_convs = tuple(
-            EqualConv(cfg.nf(lg - 1), 3, use_bias=False,
-                      name=f"conv{2 ** lg}_1")
-            for lg in range(3, max_lg + 1))
-        self.style_a = tuple(
-            StyleLayer(cfg.nf(lg - 1), name=f"style{2 ** lg}_0")
-            for lg in range(3, max_lg + 1))
-        self.style_b = tuple(
-            StyleLayer(cfg.nf(lg - 1), name=f"style{2 ** lg}_1")
+        # Resolutions 8..max: one SynthesisBlock each (remat-wrapped when
+        # cfg.remat — activations recomputed in backward).
+        block_cls = nn.remat(SynthesisBlock) if cfg.remat else SynthesisBlock
+        self.blocks = tuple(
+            block_cls(cfg.nf(lg - 1), blur=self.blur,
+                      name=f"block{2 ** lg}")
             for lg in range(3, max_lg + 1))
         self.torgb = tuple(
             EqualConv(cfg.img_channels, 1, gain=1.0, name=f"torgb{2 ** lg}")
@@ -125,12 +135,7 @@ class SynthesisNetwork(nn.Module):
 
     def _block(self, i, x, ws):
         """Block for resolution 2**(i+3); consumes style layers 2i+2, 2i+3."""
-        x = upsample_blur_2x(x) if self.blur else upsample_nearest_2x(x)
-        x = self.up_convs[i](x)
-        x = self.style_a[i](x, ws[:, 2 * i + 2])
-        x = self.mid_convs[i](x)
-        x = self.style_b[i](x, ws[:, 2 * i + 3])
-        return x
+        return self.blocks[i](x, ws[:, 2 * i + 2], ws[:, 2 * i + 3])
 
     def __call__(self, ws, res_log2: int | None = None, alpha=1.0):
         """ws: (N, L, w_dim) per-layer styles; returns (N, 2^lg, 2^lg, C)."""

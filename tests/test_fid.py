@@ -105,3 +105,24 @@ class TestInceptionPort:
         assert np.asarray(
             params["Mixed_7c"]["branch_pool"]["conv"]["w"]).shape == \
             (1, 1, 2048, 192)
+
+
+class TestKID:
+    def test_identical_near_zero(self):
+        from ganlab_tpu.eval import compute_kid
+
+        f = np.random.RandomState(0).randn(400, 16)
+        val = compute_kid(f, f, subset_size=200, num_subsets=4)
+        # Unbiased estimator on the same underlying set: near zero.
+        assert abs(val) < 0.05
+
+    def test_orders_distributions(self):
+        from ganlab_tpu.eval import compute_kid
+
+        rng = np.random.RandomState(1)
+        base = rng.randn(500, 8)
+        close = rng.randn(500, 8) * 1.05
+        far = rng.randn(500, 8) * 3.0 + 2.0
+        k_close = compute_kid(base, close, subset_size=250, num_subsets=5)
+        k_far = compute_kid(base, far, subset_size=250, num_subsets=5)
+        assert k_far > k_close

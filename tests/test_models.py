@@ -128,3 +128,18 @@ class TestStyleGANBehavior:
         pure_z2 = g.apply(pg, z2, **k)
         np.testing.assert_allclose(np.asarray(only_z2), np.asarray(pure_z2),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_stylegan_remat_preserves_values():
+    """SynthesisBlock remat must not change generator outputs."""
+    outs = []
+    for remat in (False, True):
+        cfg = ModelConfig(model="stylegan", resolution=16, latent_dim=16,
+                          fmap_base=128, fmap_max=16, mapping_layers=2,
+                          remat=remat)
+        g, _ = build_models(cfg)
+        pg = g.init_all(jax.random.PRNGKey(4))
+        z = jax.random.normal(jax.random.PRNGKey(5), (2, 16))
+        img = g.apply(pg, z, rngs={"noise": jax.random.PRNGKey(6)})
+        outs.append(np.asarray(img))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-6)
