@@ -21,9 +21,9 @@ import json
 import time
 
 V100_BASELINE_IMG_PER_SEC = 40.0
-BATCH_PER_DEVICE = 32        # sweep: 32 > 16 by ~4% img/s (BASELINE.md)
+BATCH_PER_DEVICE = 16        # fused-step sweet spot (BASELINE.md sweep)
 WARMUP_STEPS = 3
-TIMED_STEPS = 24             # multiple of the lazy-R1 interval (8)
+TIMED_STEPS = 32             # 2 full lazy-R1 intervals (k=16)
 
 
 CACHE_PATH = "bench_cache.json"

@@ -66,6 +66,12 @@ class LossConfig:
     drift_weight: float = 1e-3         # ProGAN eps_drift; 0 disables
     penalty_every: int = 1             # lazy regularization interval (steps)
     d_steps_per_g: int = 1             # n-critic: D updates per G update
+    # Fused simultaneous G/D updates (FusedProp-style): one backward pass
+    # computes both gradients, sharing the fake batch's G forward and (via
+    # CSE) its D forward; G sees the PRE-update D — the official TF
+    # StyleGAN's simultaneous-update semantics, vs the reference's
+    # sequential D-then-G. ~15-20% faster; requires d_steps_per_g == 1.
+    fused_g_step: bool = False
 
 
 @dataclass(frozen=True)
@@ -181,15 +187,19 @@ def _preset_progan128() -> Config:
 def _preset_stylegan256() -> Config:
     """BASELINE.json config 4: StyleGAN 256^2 CelebA-HQ (the judged bench).
 
-    penalty_every=8 is this framework's recommended recipe (StyleGAN2-style
-    lazy R1: +34% measured throughput, quality-neutral per Karras et al.
-    2019 sec. 5.1); set loss.penalty_every=1 for strict reference parity.
+    The recommended recipe (set loss.penalty_every=1 and
+    loss.fused_g_step=False for strict reference parity):
+    * lazy R1 every 16 steps, weight x16 (StyleGAN2 sec. 5.1 —
+      quality-neutral, skips the double-backward 15/16 of the time);
+    * fused simultaneous G/D updates (one backward; G sees pre-update D,
+      the official TF StyleGAN semantics). Measured on one v5e chip:
+      107.8 -> 173.1 img/s vs the eager sequential baseline (BASELINE.md).
     """
     return Config(
         model=ModelConfig(model="stylegan", resolution=256),
         loss=LossConfig(loss="nonsaturating", penalty="r1",
                         penalty_weight=10.0, drift_weight=0.0,
-                        penalty_every=8),
+                        penalty_every=16, fused_g_step=True),
         schedule=ScheduleConfig(progressive=True, start_res=8),
     )
 
@@ -200,7 +210,7 @@ def _preset_stylegan1024() -> Config:
         model=ModelConfig(model="stylegan", resolution=1024, remat=True),
         loss=LossConfig(loss="nonsaturating", penalty="r1",
                         penalty_weight=10.0, drift_weight=0.0,
-                        penalty_every=8),
+                        penalty_every=16, fused_g_step=True),
         schedule=ScheduleConfig(progressive=True, start_res=8,
                                 total_kimg=25000.0),
     )

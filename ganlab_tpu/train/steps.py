@@ -274,6 +274,103 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         }
         return new_state, metrics
 
+    def step_fused(state: TrainState, real_u8) -> tuple[TrainState, dict]:
+        """Fused simultaneous update (loss.fused_g_step): ONE backward pass
+        yields both gradients. The fake batch's G forward is shared between
+        the D and G losses, and its two D forwards (one stop-gradding the
+        images for the D loss, one stop-gradding the D params for the G
+        loss) are identical computations that XLA CSEs into one. G sees the
+        PRE-update D — the official TF StyleGAN/ProGAN simultaneous-update
+        semantics, vs the reference's sequential D-then-G."""
+        batch = real_u8.shape[0]
+        alpha = alpha_of(state.shown_imgs)
+
+        base = state.rng
+        if axis_name and fold_device_rng:
+            local = jax.random.fold_in(base, lax.axis_index(axis_name))
+        else:
+            local = base
+        (k_flip, k_z, k_n, k_gp) = jax.random.split(local, 4)
+        next_rng = jax.random.split(base, 1)[0]
+
+        real = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
+        has_penalty = lc.penalty in ("wgan-gp", "r1")
+        with_penalty = (has_penalty if penalty_override is None
+                        else penalty_override)
+
+        def objective(params):
+            params_d, params_g = params
+            fake, w_mean = gen_forward(params_g, k_z, k_n, alpha, batch)
+            fake_sg = lax.stop_gradient(fake)
+            real_s = d_apply(params_d, real, alpha)
+            fake_s = d_apply(params_d, fake_sg, alpha)
+            d_loss = d_loss_fn_base(real_s, fake_s)
+            penalty = jnp.float32(0.0)
+            if with_penalty:
+                w = lc.penalty_weight * (
+                    lc.penalty_every if penalty_override is True else 1)
+                critic = lambda x: d_apply(params_d, x, alpha)
+                if lc.penalty == "wgan-gp":
+                    penalty = L.wgan_gp(critic, real, fake_sg, k_gp, w)
+                elif lc.penalty == "r1":
+                    penalty = L.r1_penalty(critic, real, w)
+            if lc.drift_weight:
+                penalty = penalty + L.drift_penalty(real_s, lc.drift_weight)
+            params_d_sg = jax.tree.map(lax.stop_gradient, params_d)
+            g_scores = d_apply(params_d_sg, fake, alpha)
+            g_loss = g_loss_fn_base(g_scores)
+            aux = {"d_loss": d_loss, "g_loss": g_loss, "penalty": penalty,
+                   "real_score": jnp.mean(real_s),
+                   "fake_score": jnp.mean(fake_s), "w_mean": w_mean}
+            return d_loss + penalty + g_loss, aux
+
+        (_, aux), (d_grads, g_grads) = jax.value_and_grad(
+            objective, has_aux=True)((state.params_d, state.params_g))
+        d_grads = pmean(d_grads)
+        g_grads = pmean(g_grads)
+        d_updates, new_opt_d = opt_d.update(d_grads, state.opt_d,
+                                            state.params_d)
+        new_params_d = optax.apply_updates(state.params_d, d_updates)
+        g_updates, new_opt_g = opt_g.update(g_grads, state.opt_g,
+                                            state.params_g)
+        new_params_g = optax.apply_updates(state.params_g, g_updates)
+        new_ema = _ema_update(state.params_ema, new_params_g,
+                              cfg.optim.ema_beta)
+
+        if is_style and aux["w_mean"] is not None:
+            w_mean = pmean(aux["w_mean"])
+            beta = jnp.float32(cfg.model.w_avg_beta)
+            new_w_avg = state.w_avg * beta + w_mean * (1.0 - beta)
+        else:
+            new_w_avg = state.w_avg
+
+        n_dev = lax.psum(1, axis_name) if axis_name else 1
+        global_batch = jnp.float32(batch * n_dev)
+        new_state = state.replace(
+            params_g=new_params_g,
+            params_d=new_params_d,
+            params_ema=new_ema,
+            opt_g=new_opt_g,
+            opt_d=new_opt_d,
+            w_avg=new_w_avg,
+            rng=next_rng,
+            step=state.step + 1,
+            shown_imgs=state.shown_imgs + global_batch,
+        )
+        metrics = {
+            "d_loss": pmean(aux["d_loss"]),
+            "g_loss": pmean(aux["g_loss"]),
+            "penalty": pmean(aux["penalty"]),
+            "real_score": pmean(aux["real_score"]),
+            "fake_score": pmean(aux["fake_score"]),
+            "alpha": alpha,
+        }
+        return new_state, metrics
+
+    if lc.fused_g_step:
+        assert lc.d_steps_per_g == 1, \
+            "fused_g_step requires d_steps_per_g == 1"
+        return step_fused
     return step
 
 

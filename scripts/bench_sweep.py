@@ -18,6 +18,7 @@ def main():
     penalty_every = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     use_pallas = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
     res = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    fused = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
 
     import jax
     import numpy as np
@@ -41,6 +42,7 @@ def main():
         "schedule.batch_schedule": {res: batch},
         "schedule.progressive": False,
         "loss.penalty_every": penalty_every,
+        "loss.fused_g_step": fused,
     })
     phase = build_phases(cfg.schedule, cfg.model)[-1]
     state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -63,7 +65,7 @@ def main():
 
     print(json.dumps({
         "batch": batch, "penalty_every": penalty_every,
-        "use_pallas": use_pallas, "res": res,
+        "use_pallas": use_pallas, "res": res, "fused": fused,
         "img_per_sec": round(n_steps * batch / dt, 2),
         "ms_per_step": round(dt / n_steps * 1000, 2),
     }), flush=True)

@@ -263,3 +263,98 @@ def test_bf16_compute_dtype_step():
         assert leaf.dtype == jnp.float32
     for leaf in jax.tree.leaves(state.params_ema):
         assert leaf.dtype == jnp.float32
+
+
+class TestFusedStep:
+    def _cfg(self):
+        return tiny_config("stylegan", **{"loss.fused_g_step": True})
+
+    def test_runs_and_updates_both(self):
+        cfg = self._cfg()
+        phase = build_phases(cfg.schedule, cfg.model)[-1]
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        g0 = np.asarray(jax.tree.leaves(state.params_g)[0])
+        d0 = np.asarray(jax.tree.leaves(state.params_d)[0])
+        step = make_single_step(build_train_step(cfg, phase))
+        state, m = step(state, fake_batch(4, 16))
+        for k in ("d_loss", "g_loss", "penalty"):
+            assert np.isfinite(float(m[k])), k
+        assert not np.allclose(g0, np.asarray(jax.tree.leaves(
+            state.params_g)[0]))
+        assert not np.allclose(d0, np.asarray(jax.tree.leaves(
+            state.params_d)[0]))
+        assert not np.allclose(np.asarray(state.w_avg), 0.0)
+
+    def test_gradients_match_unfused_semantics(self):
+        """Fused gradients == separately computed d-grad and g-grad (both
+        against the PRE-update opponent, same keys)."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        from ganlab_tpu.ops import losses as L
+        from ganlab_tpu.train.steps import (
+            _preprocess,
+            build_generator_forward,
+        )
+        from ganlab_tpu.models import build_models
+
+        cfg = self._cfg()
+        phase = build_phases(cfg.schedule, cfg.model)[-1]
+        state = create_train_state(cfg, jax.random.PRNGKey(2))
+        batch_u8 = fake_batch(4, 16, seed=3)
+
+        # Reproduce step_fused's key derivation and preprocessing.
+        k_flip, k_z, k_n, k_gp = jax.random.split(state.rng, 4)
+        real = _preprocess(batch_u8, cfg.data.hflip, k_flip, jnp.float32)
+        _, gen_fwd = build_generator_forward(cfg, phase.res_log2)
+        _, d_model = build_models(cfg.model)
+
+        def d_apply(p, x):
+            return d_model.apply(p, x, phase.res_log2, 1.0).astype(
+                jnp.float32)
+
+        fake, _ = gen_fwd(state.params_g, k_z, k_n, jnp.float32(1.0), 4)
+        fake = lax.stop_gradient(fake)
+
+        def d_obj(pd):
+            loss = L.d_loss_nonsaturating(d_apply(pd, real),
+                                          d_apply(pd, fake))
+            pen = L.r1_penalty(lambda x: d_apply(pd, x), real,
+                               cfg.loss.penalty_weight)
+            return loss + pen
+
+        def g_obj(pg):
+            fk, _ = gen_fwd(pg, k_z, k_n, jnp.float32(1.0), 4)
+            return L.g_loss_nonsaturating(d_apply(state.params_d, fk))
+
+        want_d = jax.grad(d_obj)(state.params_d)
+        want_g = jax.grad(g_obj)(state.params_g)
+
+        # Fused step with lr ~ 0 exposes raw gradients via Adam's update
+        # direction? Simpler: recompute via the step's own objective by
+        # diffing optimizer inputs is invasive — instead check the updated
+        # params move in the SAME direction as a tiny manual SGD step.
+        step = make_single_step(build_train_step(cfg, phase))
+        state2, _ = step(create_train_state(cfg, jax.random.PRNGKey(2)),
+                         batch_u8)
+
+        # Adam step direction = sign(grad) for the first step; compare signs
+        # where the reference gradient is significant.
+        for got_tree, want_tree, old_tree in (
+                (state2.params_d, want_d, state.params_d),
+                (state2.params_g, want_g, state.params_g)):
+            got = jax.tree.leaves(got_tree)
+            want = jax.tree.leaves(want_tree)
+            old = jax.tree.leaves(old_tree)
+            agree, total = 0, 0
+            for g_leaf, w_leaf, o_leaf in zip(got, want, old):
+                delta = np.asarray(g_leaf) - np.asarray(o_leaf)
+                w = np.asarray(w_leaf)
+                mask = np.abs(w) > 1e-5
+                if mask.sum() == 0:
+                    continue
+                # Adam moves against the gradient sign.
+                agree += np.sum(np.sign(delta[mask]) == -np.sign(w[mask]))
+                total += mask.sum()
+            assert total > 0
+            assert agree / total > 0.95, (agree, total)
