@@ -1,10 +1,14 @@
 """One-config throughput measurement (fresh process per config).
 
-Usage: python scripts/bench_sweep.py BATCH PENALTY_EVERY USE_PALLAS [RES]
-Emits one JSON line. Used to pick the bench.py configuration; see
-BASELINE.md for the sweep results.
+Usage:
+    python scripts/bench_sweep.py [--preset stylegan-256] [--batch 16]
+        [--penalty-every 16] [--pallas] [--res 256] [--fused] [--steps 20]
+
+Emits one JSON line. Used to pick bench.py's configuration; results are
+recorded in BASELINE.md.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -14,11 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    penalty_every = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    use_pallas = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
-    res = int(sys.argv[4]) if len(sys.argv) > 4 else 256
-    fused = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batch", nargs="?", type=int, default=16)
+    ap.add_argument("penalty_every", nargs="?", type=int, default=1)
+    ap.add_argument("use_pallas", nargs="?", type=int, default=0)
+    ap.add_argument("res", nargs="?", type=int, default=None)
+    ap.add_argument("fused", nargs="?", type=int, default=0)
+    ap.add_argument("--preset", default="stylegan-256")
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
 
     import jax
     import numpy as np
@@ -32,42 +40,48 @@ def main():
     from ganlab_tpu.train.state import create_train_state
     from ganlab_tpu.train.steps import make_lazy_stepper
 
-    if use_pallas:
+    if args.use_pallas:
         from ganlab_tpu.ops import pallas as plops
 
         plops.set_backend("pallas")
 
-    cfg = get_config("stylegan-256", **{
-        "model.resolution": res,
-        "schedule.batch_schedule": {res: batch},
+    over = {
         "schedule.progressive": False,
-        "loss.penalty_every": penalty_every,
-        "loss.fused_g_step": fused,
-    })
+        "loss.penalty_every": args.penalty_every,
+        "loss.fused_g_step": bool(args.fused),
+    }
+    if args.res:
+        over["model.resolution"] = args.res
+    cfg = get_config(args.preset, **over)
+    res = cfg.model.resolution
+    cfg = cfg.replace(schedule=cfg.schedule.__class__(
+        progressive=False, batch_schedule={res: args.batch}))
+
     phase = build_phases(cfg.schedule, cfg.model)[-1]
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_lazy_stepper(cfg, phase, make_single_step)
 
     rng = np.random.RandomState(0)
-    batches = [rng.randint(0, 256, (batch, res, res, 3), dtype=np.uint8)
-               for _ in range(4)]
+    batches = [rng.randint(0, 256, (args.batch, res, res, 3),
+                           dtype=np.uint8) for _ in range(4)]
 
     for i in range(3):
         state, metrics = step(state, batches[i % 4])
     float(np.asarray(metrics["d_loss"]))
 
-    n_steps = 20
     t0 = time.perf_counter()
-    for i in range(n_steps):
+    for i in range(args.steps):
         state, metrics = step(state, batches[i % 4])
     float(np.asarray(metrics["d_loss"]))
     dt = time.perf_counter() - t0
 
     print(json.dumps({
-        "batch": batch, "penalty_every": penalty_every,
-        "use_pallas": use_pallas, "res": res, "fused": fused,
-        "img_per_sec": round(n_steps * batch / dt, 2),
-        "ms_per_step": round(dt / n_steps * 1000, 2),
+        "preset": args.preset, "batch": args.batch,
+        "penalty_every": args.penalty_every,
+        "use_pallas": bool(args.use_pallas), "res": res,
+        "fused": bool(args.fused),
+        "img_per_sec": round(args.steps * args.batch / dt, 2),
+        "ms_per_step": round(dt / args.steps * 1000, 2),
     }), flush=True)
 
 
