@@ -69,6 +69,13 @@ class GrainImageFolderSource:
         assert res <= self.resolution
         key = (batch_size, res)
         if key not in self._iters:
-            self._iters[key] = self._make_iter(batch_size, res)
+            # One live pipeline at a time: progressive phases supersede each
+            # other, and each mp_prefetch iterator owns a worker-process
+            # pool that must not accumulate across phases.
+            for old in self._iters.values():
+                close = getattr(old, "close", None)
+                if close is not None:
+                    close()
+            self._iters = {key: self._make_iter(batch_size, res)}
         out = next(self._iters[key])
         return np.asarray(out, np.uint8)

@@ -164,8 +164,20 @@ def _center_crop_square(img):
 
 
 def make_source(data_cfg: DataConfig, resolution: int, seed: int = 0):
-    """Data-source factory keyed by the config's dataset selector."""
+    """Data-source factory keyed by the config's dataset selector.
+
+    Validates up front that the source can serve the model's resolution
+    (fail fast at startup, not inside the prefetch worker)."""
     res_to_log2(resolution)  # validate
+    src = _make_source(data_cfg, resolution, seed)
+    if getattr(src, "resolution", resolution) < resolution:
+        raise ValueError(
+            f"dataset {data_cfg.dataset!r} serves up to "
+            f"{src.resolution}px but the model needs {resolution}px")
+    return src
+
+
+def _make_source(data_cfg: DataConfig, resolution: int, seed: int):
     name = data_cfg.dataset
     if name == "synthetic":
         return SyntheticSource(resolution, seed=seed)
@@ -199,23 +211,36 @@ class Prefetcher:
                  place: Callable | None = None, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._error: BaseException | None = None
         self._place = place or (lambda x: x)
         self._thread = threading.Thread(
             target=self._worker, args=(source, batch_size, res), daemon=True)
         self._thread.start()
 
     def _worker(self, source, batch_size, res):
-        while not self._stop.is_set():
-            batch = self._place(source.batch(batch_size, res))
+        try:
             while not self._stop.is_set():
-                try:
-                    self._q.put(batch, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+                batch = self._place(source.batch(batch_size, res))
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 — re-raised in next()
+            self._error = e
+            self._stop.set()
 
     def next(self):
-        return self._q.get()
+        # Poll so a dead worker surfaces its exception instead of a hang.
+        while True:
+            if self._error is not None:
+                raise RuntimeError("data pipeline worker failed") \
+                    from self._error
+            try:
+                return self._q.get(timeout=1.0)
+            except queue.Empty:
+                continue
 
     def close(self):
         self._stop.set()

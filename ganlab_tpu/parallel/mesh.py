@@ -10,17 +10,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed() -> None:
-    """Multi-host init (DCN); no-op when running single-process.
+    """Multi-host init (DCN); safe no-op when running single-process.
 
-    On a pod slice each host calls this before touching devices; JAX wires
-    the coordinator from TPU environment metadata.
+    Must run BEFORE anything initializes the JAX backend (querying
+    ``jax.devices()``/``process_count()`` would lock in a single-process
+    backend and make ``jax.distributed.initialize`` fail). Only attempts
+    initialization when the environment carries multi-host coordinates
+    (pod-slice metadata / explicit coordinator env), so plain local runs
+    never block on coordinator discovery.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
-    try:
-        jax.distributed.initialize()
-    except (RuntimeError, ValueError):
-        pass  # single-process run (tests / one chip): nothing to do
+    import os
+
+    coordinator = any(os.environ.get(h) for h in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS"))
+    # Multiple TPU workers show up as a comma-separated hostname list
+    # (single-host environments set TPU_WORKER_HOSTNAMES=localhost).
+    multi_worker = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if not (coordinator or multi_worker):
+        return  # single-host run: nothing to initialize
+    jax.distributed.initialize()
+
 
 
 def make_mesh(devices: Sequence[jax.Device] | None = None,

@@ -51,7 +51,12 @@ class Trainer:
         if use_mesh is None:
             use_mesh = n_dev > 1
         self.mesh = make_mesh() if use_mesh else None
+        # n_dev: all devices in the mesh (drives the global shown-image
+        # counter); local_dev: this host's devices (drives how many rows
+        # THIS host feeds — on a pod slice each host supplies its local
+        # shard and shard_batch assembles the global array).
         self.n_dev = n_dev if use_mesh else 1
+        self.local_dev = jax.local_device_count() if use_mesh else 1
 
         self.ckpt = CheckpointManager(
             os.path.join(workdir, cfg.run.checkpoint_dir),
@@ -122,12 +127,16 @@ class Trainer:
             if shown >= self.phases[-1].end_img:
                 break
             step_fn = self._step_fn(phase)
+            # This host feeds its local devices' rows; the device-side
+            # shown-image counter (and therefore fade-in alpha) advances by
+            # the GLOBAL batch per step.
+            feed_batch = phase.batch_size * self.local_dev
             global_batch = phase.batch_size * self.n_dev
             print(f"phase {phase.index}: res {phase.resolution} {phase.kind} "
                   f"[{phase.start_img}, {phase.end_img}) batch/device "
                   f"{phase.batch_size} x {self.n_dev} devices", flush=True)
 
-            with Prefetcher(self.source, global_batch, phase.resolution,
+            with Prefetcher(self.source, feed_batch, phase.resolution,
                             place=self._place,
                             depth=cfg.data.prefetch) as pf:
                 while shown < phase.end_img:
@@ -139,12 +148,12 @@ class Trainer:
                     if run.profile and steps_done == 10:
                         jax.profiler.start_trace(
                             os.path.join(self.workdir, "profile"))
+                        self._trace_active = True
                     self.state, metrics = step_fn(self.state, pf.next())
                     steps_done += 1
                     shown += global_batch
                     if run.profile and steps_done == 20:
-                        jax.block_until_ready(metrics)
-                        jax.profiler.stop_trace()
+                        self._stop_trace(metrics)
 
                     step_i = steps_done
                     if step_i % run.log_every == 0:
@@ -162,7 +171,16 @@ class Trainer:
         self._finish()
         return metrics
 
+    def _stop_trace(self, metrics=None):
+        if getattr(self, "_trace_active", False):
+            if metrics is not None:
+                jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            self._trace_active = False
+
     def _finish(self):
+        # Close an in-flight profiler trace if the run ended before step 20.
+        self._stop_trace()
         self.save_checkpoint()
         self.ckpt.wait()
 

@@ -148,20 +148,71 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
     def pmean(x):
         return lax.pmean(x, axis_name) if axis_name else x
 
-    def step(state: TrainState, real_u8) -> tuple[TrainState, dict]:
-        batch = real_u8.shape[0]
-        alpha = alpha_of(state.shown_imgs)
+    # Lazy regularization (StyleGAN2 sec. 5.1): the penalty applies every
+    # k-th step with weight scaled by k (the k-scaling belongs to the lazy
+    # 'on' program, penalty_override=True; the every-step program uses the
+    # plain weight). Dispatch between the two programs is host-side — see
+    # make_lazy_stepper.
+    has_penalty = lc.penalty in ("wgan-gp", "r1")
+    with_penalty = (has_penalty if penalty_override is None
+                    else penalty_override)
+    pen_weight = lc.penalty_weight * (
+        lc.penalty_every if penalty_override is True else 1)
 
-        # Per-device RNG: fold the mesh position into the replicated key for
-        # sampling; advance the replicated key identically on every device.
+    def derive_keys(state, n):
+        """Per-device sampling keys + the replicated next key.
+
+        The mesh position folds into the sampling keys only (each device
+        draws its own latents); the state key advances identically on every
+        device so the state stays replica-identical."""
         base = state.rng
         if axis_name and fold_device_rng:
             local = jax.random.fold_in(base, lax.axis_index(axis_name))
         else:
             local = base
-        (k_flip, k_zd, k_nd, k_gp, k_zg, k_ng) = jax.random.split(local, 6)
-        next_rng = jax.random.split(base, 1)[0]
+        return jax.random.split(local, n), jax.random.split(base, 1)[0]
 
+    def penalty_term(params_d, alpha, real, fake_sg, k_gp, real_s):
+        penalty = jnp.float32(0.0)
+        if with_penalty:
+            critic = lambda x: d_apply(params_d, x, alpha)
+            if lc.penalty == "wgan-gp":
+                penalty = L.wgan_gp(critic, real, fake_sg, k_gp, pen_weight)
+            elif lc.penalty == "r1":
+                penalty = L.r1_penalty(critic, real, pen_weight)
+        if lc.drift_weight:
+            penalty = penalty + L.drift_penalty(real_s, lc.drift_weight)
+        return penalty
+
+    def assemble(state, *, params_g, params_d, ema, opt_g_state, opt_d_state,
+                 w_avg, next_rng, batch, alpha, aux, g_loss):
+        n_dev = lax.psum(1, axis_name) if axis_name else 1
+        new_state = state.replace(
+            params_g=params_g, params_d=params_d, params_ema=ema,
+            opt_g=opt_g_state, opt_d=opt_d_state, w_avg=w_avg,
+            rng=next_rng, step=state.step + 1,
+            shown_imgs=state.shown_imgs + jnp.float32(batch * n_dev))
+        metrics = {
+            "d_loss": pmean(aux["d_loss"]),
+            "g_loss": pmean(g_loss),
+            "penalty": pmean(aux["penalty"]),
+            "real_score": pmean(aux["real_score"]),
+            "fake_score": pmean(aux["fake_score"]),
+            "alpha": alpha,
+        }
+        return new_state, metrics
+
+    def update_w_avg(w_avg, w_mean):
+        if is_style and w_mean is not None:
+            beta = jnp.float32(cfg.model.w_avg_beta)
+            return w_avg * beta + pmean(w_mean) * (1.0 - beta)
+        return w_avg
+
+    def step(state: TrainState, real_u8) -> tuple[TrainState, dict]:
+        batch = real_u8.shape[0]
+        alpha = alpha_of(state.shown_imgs)
+        (k_flip, k_zd, k_nd, k_gp, k_zg, k_ng), next_rng = \
+            derive_keys(state, 6)
         real = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
 
         # ------------------------------------------------------------------
@@ -170,38 +221,19 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         fake_d, _ = gen_forward(state.params_g, k_zd, k_nd, alpha, batch)
         fake_d = lax.stop_gradient(fake_d)
 
-        def d_objective(params_d, with_penalty: bool):
+        def d_objective(params_d):
             real_s = d_apply(params_d, real, alpha)
             fake_s = d_apply(params_d, fake_d, alpha)
             loss = d_loss_fn_base(real_s, fake_s)
-            penalty = jnp.float32(0.0)
-            critic = lambda x: d_apply(params_d, x, alpha)
-            if with_penalty:
-                # Lazy regularization (StyleGAN2 sec. 5.1): the penalty is
-                # applied every k-th step with weight scaled by k, keeping
-                # the expected gradient while skipping the double-backward
-                # on the other k-1 steps. The k-scaling applies only to the
-                # lazy 'on' program (penalty_override=True); the every-step
-                # program (None) uses the plain weight.
-                w = lc.penalty_weight * (
-                    lc.penalty_every if penalty_override is True else 1)
-                if lc.penalty == "wgan-gp":
-                    penalty = L.wgan_gp(critic, real, fake_d, k_gp, w)
-                elif lc.penalty == "r1":
-                    penalty = L.r1_penalty(critic, real, w)
-            if lc.drift_weight:
-                penalty = penalty + L.drift_penalty(real_s, lc.drift_weight)
+            penalty = penalty_term(params_d, alpha, real, fake_d, k_gp,
+                                   real_s)
             aux = {"d_loss": loss, "penalty": penalty,
                    "real_score": jnp.mean(real_s),
                    "fake_score": jnp.mean(fake_s)}
             return loss + penalty, aux
 
-        has_penalty = lc.penalty in ("wgan-gp", "r1")
-        with_penalty = (has_penalty if penalty_override is None
-                        else penalty_override)
         (_, d_aux), d_grads = jax.value_and_grad(
-            lambda p: d_objective(p, with_penalty), has_aux=True)(
-                state.params_d)
+            d_objective, has_aux=True)(state.params_d)
         d_grads = pmean(d_grads)
         d_updates, new_opt_d = opt_d.update(d_grads, state.opt_d,
                                             state.params_d)
@@ -227,12 +259,7 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                                                 params_g)
             new_params_g = optax.apply_updates(params_g, g_updates)
             new_ema = _ema_update(ema, new_params_g, cfg.optim.ema_beta)
-            if is_style:
-                w_mean = pmean(w_mean)
-                beta = jnp.float32(cfg.model.w_avg_beta)
-                new_w_avg = w_avg * beta + w_mean * (1.0 - beta)
-            else:
-                new_w_avg = w_avg
+            new_w_avg = update_w_avg(w_avg, w_mean)
             return new_params_g, new_opt_g, new_ema, new_w_avg, g_loss
 
         operand = (state.params_g, state.opt_g, state.params_ema,
@@ -250,29 +277,11 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                 lambda op: (*op, jnp.float32(0.0)),
                 operand)
 
-        n_dev = lax.psum(1, axis_name) if axis_name else 1
-        global_batch = jnp.float32(batch * n_dev)
-
-        new_state = state.replace(
-            params_g=new_params_g,
-            params_d=new_params_d,
-            params_ema=new_ema,
-            opt_g=new_opt_g,
-            opt_d=new_opt_d,
-            w_avg=new_w_avg,
-            rng=next_rng,
-            step=state.step + 1,
-            shown_imgs=state.shown_imgs + global_batch,
-        )
-        metrics = {
-            "d_loss": pmean(d_aux["d_loss"]),
-            "g_loss": pmean(g_loss),
-            "penalty": pmean(d_aux["penalty"]),
-            "real_score": pmean(d_aux["real_score"]),
-            "fake_score": pmean(d_aux["fake_score"]),
-            "alpha": alpha,
-        }
-        return new_state, metrics
+        return assemble(state, params_g=new_params_g, params_d=new_params_d,
+                        ema=new_ema, opt_g_state=new_opt_g,
+                        opt_d_state=new_opt_d, w_avg=new_w_avg,
+                        next_rng=next_rng, batch=batch, alpha=alpha,
+                        aux=d_aux, g_loss=g_loss)
 
     def step_fused(state: TrainState, real_u8) -> tuple[TrainState, dict]:
         """Fused simultaneous update (loss.fused_g_step): ONE backward pass
@@ -284,19 +293,8 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         semantics, vs the reference's sequential D-then-G."""
         batch = real_u8.shape[0]
         alpha = alpha_of(state.shown_imgs)
-
-        base = state.rng
-        if axis_name and fold_device_rng:
-            local = jax.random.fold_in(base, lax.axis_index(axis_name))
-        else:
-            local = base
-        (k_flip, k_z, k_n, k_gp) = jax.random.split(local, 4)
-        next_rng = jax.random.split(base, 1)[0]
-
+        (k_flip, k_z, k_n, k_gp), next_rng = derive_keys(state, 4)
         real = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
-        has_penalty = lc.penalty in ("wgan-gp", "r1")
-        with_penalty = (has_penalty if penalty_override is None
-                        else penalty_override)
 
         def objective(params):
             params_d, params_g = params
@@ -305,17 +303,8 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             real_s = d_apply(params_d, real, alpha)
             fake_s = d_apply(params_d, fake_sg, alpha)
             d_loss = d_loss_fn_base(real_s, fake_s)
-            penalty = jnp.float32(0.0)
-            if with_penalty:
-                w = lc.penalty_weight * (
-                    lc.penalty_every if penalty_override is True else 1)
-                critic = lambda x: d_apply(params_d, x, alpha)
-                if lc.penalty == "wgan-gp":
-                    penalty = L.wgan_gp(critic, real, fake_sg, k_gp, w)
-                elif lc.penalty == "r1":
-                    penalty = L.r1_penalty(critic, real, w)
-            if lc.drift_weight:
-                penalty = penalty + L.drift_penalty(real_s, lc.drift_weight)
+            penalty = penalty_term(params_d, alpha, real, fake_sg, k_gp,
+                                   real_s)
             params_d_sg = jax.tree.map(lax.stop_gradient, params_d)
             g_scores = d_apply(params_d_sg, fake, alpha)
             g_loss = g_loss_fn_base(g_scores)
@@ -336,36 +325,13 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         new_params_g = optax.apply_updates(state.params_g, g_updates)
         new_ema = _ema_update(state.params_ema, new_params_g,
                               cfg.optim.ema_beta)
+        new_w_avg = update_w_avg(state.w_avg, aux["w_mean"])
 
-        if is_style and aux["w_mean"] is not None:
-            w_mean = pmean(aux["w_mean"])
-            beta = jnp.float32(cfg.model.w_avg_beta)
-            new_w_avg = state.w_avg * beta + w_mean * (1.0 - beta)
-        else:
-            new_w_avg = state.w_avg
-
-        n_dev = lax.psum(1, axis_name) if axis_name else 1
-        global_batch = jnp.float32(batch * n_dev)
-        new_state = state.replace(
-            params_g=new_params_g,
-            params_d=new_params_d,
-            params_ema=new_ema,
-            opt_g=new_opt_g,
-            opt_d=new_opt_d,
-            w_avg=new_w_avg,
-            rng=next_rng,
-            step=state.step + 1,
-            shown_imgs=state.shown_imgs + global_batch,
-        )
-        metrics = {
-            "d_loss": pmean(aux["d_loss"]),
-            "g_loss": pmean(aux["g_loss"]),
-            "penalty": pmean(aux["penalty"]),
-            "real_score": pmean(aux["real_score"]),
-            "fake_score": pmean(aux["fake_score"]),
-            "alpha": alpha,
-        }
-        return new_state, metrics
+        return assemble(state, params_g=new_params_g, params_d=new_params_d,
+                        ema=new_ema, opt_g_state=new_opt_g,
+                        opt_d_state=new_opt_d, w_avg=new_w_avg,
+                        next_rng=next_rng, batch=batch, alpha=alpha,
+                        aux=aux, g_loss=aux["g_loss"])
 
     if lc.fused_g_step:
         assert lc.d_steps_per_g == 1, \
