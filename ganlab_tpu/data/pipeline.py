@@ -128,8 +128,19 @@ class Cifar10Source(_IndexedSource):
         super().__init__(np.concatenate(chunks).astype(np.uint8), seed)
 
 
+def _decode_one(args):
+    path, resolution = args
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    img = _center_crop_square(img)
+    img = img.resize((resolution, resolution), Image.LANCZOS)
+    return np.asarray(img, np.uint8)
+
+
 class ImageFolderSource(_IndexedSource):
-    """Decode a directory of images to a fixed resolution at startup.
+    """Decode a directory of images to a fixed resolution at startup,
+    with a thread pool (PIL decode/resize release the GIL).
 
     For small datasets / smoke runs. Large datasets should go through
     ``ganlab prepare-data`` -> ``NpySource`` instead.
@@ -138,8 +149,8 @@ class ImageFolderSource(_IndexedSource):
     EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 
     def __init__(self, data_dir: str, resolution: int, seed: int = 0,
-                 limit: int | None = None):
-        from PIL import Image
+                 limit: int | None = None, num_workers: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
 
         paths = [os.path.join(data_dir, n) for n in sorted(os.listdir(data_dir))
                  if n.lower().endswith(self.EXTS)]
@@ -148,11 +159,10 @@ class ImageFolderSource(_IndexedSource):
         if not paths:
             raise FileNotFoundError(f"no images in {data_dir}")
         out = np.empty((len(paths), resolution, resolution, 3), np.uint8)
-        for i, p in enumerate(paths):
-            img = Image.open(p).convert("RGB")
-            img = _center_crop_square(img)
-            img = img.resize((resolution, resolution), Image.LANCZOS)
-            out[i] = np.asarray(img, np.uint8)
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            for i, arr in enumerate(pool.map(
+                    _decode_one, ((p, resolution) for p in paths))):
+                out[i] = arr
         super().__init__(out, seed)
 
 

@@ -34,5 +34,15 @@ def prepare_dataset(src_dir: str, out_dir: str, max_res: int,
         written[res] = path
         res //= 2
         if res >= min_res:
-            cur = box_downsample(cur, 2)
+            cur = _bulk_downsample_2x(cur)
     return written
+
+
+def _bulk_downsample_2x(imgs: np.ndarray) -> np.ndarray:
+    """2x box-downsample the whole array; the threaded native kernel when
+    built (identity gather + fused downsample), numpy otherwise."""
+    from ganlab_tpu.data import native
+
+    idx = np.arange(imgs.shape[0], dtype=np.int64)
+    out = native.gather(imgs, idx, 2)
+    return out if out is not None else box_downsample(imgs, 2)

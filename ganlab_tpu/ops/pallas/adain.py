@@ -38,8 +38,8 @@ def _kernel(eps: float, x_ref, s_ref, b_ref, o_ref):
     mean = jnp.mean(x, axis=(0, 1), keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=(0, 1), keepdims=True)
     r = jax.lax.rsqrt(var + eps)
-    s = s_ref[0].astype(jnp.float32)              # (C,)
-    b = b_ref[0].astype(jnp.float32)
+    s = s_ref[0, 0].astype(jnp.float32)           # (C,)
+    b = b_ref[0, 0].astype(jnp.float32)
     y = (x - mean) * r * s[None, None, :] + b[None, None, :]
     o_ref[0] = y.astype(o_ref.dtype)
 
@@ -50,6 +50,11 @@ def _impl(x, style_scale, style_bias, eps, interpret):
 
         interpret = interpret_mode()
     n, h, w, c = x.shape
+    # Mosaic requires sublane-aligned (multiple-of-8) block rows; a (1, C)
+    # style block has sublane 1, so broadcast styles to (N, 8, C) — a few
+    # KB — and read row 0 in-kernel.
+    ss = jnp.broadcast_to(style_scale[:, None, :], (n, 8, c))
+    bb = jnp.broadcast_to(style_bias[:, None, :], (n, 8, c))
     return pl.pallas_call(
         functools.partial(_kernel, eps),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
@@ -57,15 +62,15 @@ def _impl(x, style_scale, style_bias, eps, interpret):
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, style_scale, style_bias)
+    )(x, ss, bb)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
