@@ -7,6 +7,14 @@ Pallas paths are enabled per-run (``run.use_pallas``) and fall back to XLA
 for shapes whose tiles don't fit VMEM.
 
 On non-TPU backends the kernels run in interpreter mode (tests).
+
+Measured verdict on the real v5e (BASELINE.md): the pointwise kernels
+(pixelnorm / fused AdaIN / mbstd) compile via Mosaic and match the XLA ops,
+but the judged StyleGAN-256 bench runs ~4% SLOWER with them enabled — XLA
+fuses these elementwise/reduction epilogues into the surrounding convs,
+and a separate pallas_call boundary forfeits that fusion. Per the
+profile-driven rule ("only keep wins") the default stays 'xla'; the kernels
+remain as validated infrastructure for ops XLA cannot fuse.
 """
 
 from __future__ import annotations

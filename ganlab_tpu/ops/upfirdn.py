@@ -148,7 +148,8 @@ def upsample_blur_2x(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
         if plops.use_pallas():
             if plops.interpret_mode() or plops.resample_compiles_on_tpu():
                 return plops.upsample_blur_2x_pallas(x)
-            return upsample_blur_2x_poly(x)
+            # On real TPU the depthwise-conv form below is the measured
+            # fastest (BASELINE.md); fall through.
     t = np.asarray(taps, dtype=np.float32)
     # nearest-up = zero-stuff * box([1,1]);  then blur(t)  =>  t (*) [1,1]
     t2 = np.convolve(t, [1.0, 1.0])
@@ -185,7 +186,7 @@ def blur_downsample_2x(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
         if plops.use_pallas():
             if plops.interpret_mode() or plops.resample_compiles_on_tpu():
                 return plops.blur_downsample_2x_pallas(x)
-            return blur_downsample_2x_poly(x)
+            # Depthwise-conv form is the measured fastest on TPU.
     t = np.asarray(taps, dtype=np.float32)
     t2 = np.convolve(t, [0.5, 0.5])
     k2 = np.outer(t2, t2)
