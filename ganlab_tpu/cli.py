@@ -34,8 +34,10 @@ def _parse_overrides(pairs: list[str]) -> dict:
 
 
 def _add_common(p):
-    p.add_argument("--preset", default="stylegan-256",
+    p.add_argument("--preset", default=None,
                    help="named config preset (see ganlab_tpu.config.PRESETS)")
+    p.add_argument("--config", default=None, metavar="FILE",
+                   help="YAML/JSON config file (may set its own preset)")
     p.add_argument("--set", action="append", metavar="KEY=VAL", dest="sets",
                    help="config override, e.g. --set optim.lr_g=2e-3")
     p.add_argument("--workdir", default="runs/default")
@@ -95,9 +97,13 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
-    from ganlab_tpu.config import get_config
+    from ganlab_tpu.config import apply_overrides, get_config, load_config
 
-    cfg = get_config(args.preset, **_parse_overrides(args.sets))
+    if getattr(args, "config", None):
+        cfg = load_config(args.config, preset=args.preset)
+    else:
+        cfg = get_config(args.preset or "stylegan-256")
+    cfg = apply_overrides(cfg, _parse_overrides(args.sets))
 
     if args.cmd == "train":
         from ganlab_tpu.parallel import initialize_distributed

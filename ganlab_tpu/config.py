@@ -233,7 +233,11 @@ def get_config(preset: str = "stylegan-256", **overrides: Any) -> Config:
     """
     if preset not in PRESETS:
         raise KeyError(f"unknown preset {preset!r}; have {sorted(PRESETS)}")
-    cfg = PRESETS[preset]()
+    return apply_overrides(PRESETS[preset](), overrides)
+
+
+def apply_overrides(cfg: Config, overrides: dict[str, Any]) -> Config:
+    """Apply 'section.field' -> value overrides to a Config."""
     if not overrides:
         return cfg
     sections: dict[str, dict[str, Any]] = {}
@@ -247,3 +251,39 @@ def get_config(preset: str = "stylegan-256", **overrides: Any) -> Config:
         current = getattr(cfg, sec)
         updates[sec] = dataclasses.replace(current, **fields)
     return cfg.replace(**updates)
+
+
+def load_config(path: str, preset: str | None = None) -> Config:
+    """Config from a YAML/JSON file of either nested sections or dotted keys.
+
+    The file may name its base preset via a top-level ``preset:`` key (the
+    explicit ``preset`` argument wins). Example:
+
+        preset: stylegan-256
+        optim:
+          lr_g: 2.0e-3
+        schedule.total_kimg: 15000
+    """
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    try:
+        raw = json.loads(text)
+    except json.JSONDecodeError:
+        import yaml
+
+        raw = yaml.safe_load(text)
+    if not isinstance(raw, dict):
+        raise ValueError(f"{path} must contain a mapping")
+    base = preset or raw.pop("preset", "stylegan-256")
+    if preset is not None:
+        raw.pop("preset", None)
+    flat: dict[str, Any] = {}
+    for key, value in raw.items():
+        if isinstance(value, dict) and "." not in key:
+            for fld, v in value.items():
+                flat[f"{key}.{fld}"] = v
+        else:
+            flat[key] = value
+    return get_config(base, **flat)

@@ -217,3 +217,42 @@ def test_learner_api_surface(tmp_path):
 
     with pytest.raises(ValueError):
         StyleGANLearner(config=learner.config)  # wrong model family
+
+
+def test_yaml_config_file(tmp_path):
+    from ganlab_tpu.config import load_config
+
+    path = tmp_path / "cfg.yaml"
+    path.write_text(
+        "preset: resnetgan-cifar10\n"
+        "model:\n  resolution: 16\n  latent_dim: 8\n"
+        "optim.lr_g: 0.002\n"
+        "run:\n  compute_dtype: float32\n")
+    cfg = load_config(str(path))
+    assert cfg.model.model == "resnetgan"
+    assert cfg.model.resolution == 16
+    assert cfg.optim.lr_g == 0.002
+    assert cfg.run.compute_dtype == "float32"
+    # JSON works through the same loader.
+    jpath = tmp_path / "cfg.json"
+    jpath.write_text('{"preset": "progan-64", "model.resolution": 32}')
+    cfg2 = load_config(str(jpath))
+    assert cfg2.model.model == "progan" and cfg2.model.resolution == 32
+
+
+def test_cli_config_file(tmp_path):
+    from ganlab_tpu.cli import main
+
+    path = tmp_path / "cfg.yaml"
+    path.write_text(
+        "preset: resnetgan-cifar10\n"
+        "model:\n  resolution: 16\n  latent_dim: 8\n  base_channels: 8\n"
+        "run:\n  compute_dtype: float32\n  num_sample_images: 4\n"
+        "schedule:\n  batch_schedule: {16: 4}\n  total_kimg: 0.1\n"
+        "data:\n  dataset: synthetic\n")
+    workdir = str(tmp_path / "run")
+    rc = main(["train", "--config", str(path), "--workdir", workdir,
+               "--max-steps", "1", "--no-mesh",
+               "--set", "run.log_every=1"])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(workdir, "checkpoints"))
