@@ -173,3 +173,41 @@ def test_trainer_end_to_end_on_mesh(tmp_path, mesh):
         assert tr.ckpt.latest_step() == 3
     finally:
         tr.close()
+
+
+def test_fused_step_under_shard_map(mesh):
+    """The fused simultaneous update (the stylegan presets' default) must
+    hold the same DP guarantees: replica-identical state, exact equality
+    with the single-device step on identical shards."""
+    cfg = tiny_config("stylegan")
+    import dataclasses
+
+    cfg = cfg.replace(loss=dataclasses.replace(cfg.loss, fused_g_step=True))
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+
+    step_dp = build_train_step(cfg, phase, axis_name="data",
+                               fold_device_rng=False)
+    par = make_parallel_step(step_dp, mesh)
+    shard = fake_batch(2, 16, seed=11)
+    batch = shard_batch(np.tile(shard, (8, 1, 1, 1)), mesh)
+    state_dp, m_dp = par(replicate(create_train_state(
+        cfg, jax.random.PRNGKey(4)), mesh), batch)
+
+    step_1 = make_single_step(build_train_step(cfg, phase))
+    state_1, m_1 = step_1(create_train_state(cfg, jax.random.PRNGKey(4)),
+                          shard)
+
+    for a, b in zip(jax.tree.leaves(state_dp.params_g),
+                    jax.tree.leaves(state_1.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_dp.params_d),
+                    jax.tree.leaves(state_1.params_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert float(m_dp["g_loss"]) == pytest.approx(float(m_1["g_loss"]),
+                                                  rel=1e-5)
+    # w_avg must also stay replica-identical and equal.
+    np.testing.assert_allclose(np.asarray(state_dp.w_avg),
+                               np.asarray(state_1.w_avg),
+                               rtol=1e-5, atol=1e-7)
