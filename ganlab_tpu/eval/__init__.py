@@ -16,6 +16,7 @@ from ganlab_tpu.eval.fid import (
     frechet_distance,
     compute_fid,
     compute_kid,
+    compute_precision_recall,
     RandomConvExtractor,
     get_extractor,
 )

@@ -81,6 +81,36 @@ def compute_kid(real_features, fake_features, subset_size: int = 1000,
     return float(np.mean(vals))
 
 
+def compute_precision_recall(real_features, fake_features,
+                             k: int = 3) -> tuple[float, float]:
+    """Improved precision & recall for generative models
+    (Kynkaanniemi et al. 2019), k-NN manifold estimate.
+
+    precision = fraction of fakes inside the real manifold (realism);
+    recall    = fraction of reals inside the fake manifold (coverage).
+    """
+    def _pairwise(a, b):
+        a2 = np.sum(a * a, axis=1)[:, None]
+        b2 = np.sum(b * b, axis=1)[None, :]
+        d2 = a2 + b2 - 2.0 * (a @ b.T)
+        return np.sqrt(np.maximum(d2, 0.0))
+
+    def _knn_radii(feats, k):
+        d = _pairwise(feats, feats)
+        np.fill_diagonal(d, np.inf)
+        return np.partition(d, k - 1, axis=1)[:, k - 1]
+
+    x = np.asarray(real_features, np.float64)
+    y = np.asarray(fake_features, np.float64)
+    r_real = _knn_radii(x, k)          # manifold radius per real point
+    r_fake = _knn_radii(y, k)
+    d_fr = _pairwise(y, x)             # fake -> real distances
+    precision = float(np.mean(np.any(d_fr <= r_real[None, :], axis=1)))
+    d_rf = d_fr.T                      # real -> fake
+    recall = float(np.mean(np.any(d_rf <= r_fake[None, :], axis=1)))
+    return precision, recall
+
+
 class RandomConvExtractor:
     """Deterministic random-weight CNN features (for tests and as a
     weights-free relative metric). 4 stride-2 conv stages + global mean/max

@@ -126,3 +126,34 @@ class TestKID:
         k_close = compute_kid(base, close, subset_size=250, num_subsets=5)
         k_far = compute_kid(base, far, subset_size=250, num_subsets=5)
         assert k_far > k_close
+
+
+class TestPrecisionRecall:
+    def test_identical_high_both(self):
+        from ganlab_tpu.eval.fid import compute_precision_recall
+
+        f = np.random.RandomState(0).randn(200, 8)
+        p, r = compute_precision_recall(f, f + 1e-9)
+        assert p > 0.95 and r > 0.95
+
+    def test_mode_collapse_low_recall(self):
+        """Fakes concentrated on one mode of the real data: precision high
+        (they look real), recall low (coverage poor)."""
+        from ganlab_tpu.eval.fid import compute_precision_recall
+
+        rng = np.random.RandomState(1)
+        real = np.concatenate([rng.randn(150, 4),
+                               rng.randn(150, 4) + 20.0])
+        fake = rng.randn(300, 4) * 0.5       # only mode 0, tighter
+        p, r = compute_precision_recall(real, fake)
+        assert p > 0.8
+        assert r < 0.6
+
+    def test_garbage_low_precision(self):
+        from ganlab_tpu.eval.fid import compute_precision_recall
+
+        rng = np.random.RandomState(2)
+        real = rng.randn(200, 4)
+        fake = rng.randn(200, 4) * 0.3 + 50.0  # far off-manifold
+        p, _ = compute_precision_recall(real, fake)
+        assert p < 0.1
