@@ -113,3 +113,32 @@ def test_grain_image_folder_source(tmp_path):
     # Streaming repeats forever.
     for _ in range(3):
         assert src.batch(4, 16).shape == (4, 16, 16, 3)
+
+
+def test_cifar10_source_from_pickles(tmp_path):
+    """Cifar10Source reads the standard python pickle batch format."""
+    import pickle
+
+    from ganlab_tpu.data import Cifar10Source
+
+    d = tmp_path / "cifar-10-batches-py"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(1, 6):
+        data = rng.randint(0, 256, (20, 3 * 32 * 32), dtype=np.uint8)
+        with open(d / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": [0] * 20}, f)
+
+    src = Cifar10Source(str(tmp_path))
+    assert src.num_images == 100 and src.resolution == 32
+    b = src.batch(8, 32)
+    assert b.shape == (8, 32, 32, 3) and b.dtype == np.uint8
+    assert src.batch(4, 16).shape == (4, 16, 16, 3)
+
+    # make_source rejects a resolution the source cannot serve.
+    from ganlab_tpu.config import DataConfig
+    from ganlab_tpu.data import make_source
+
+    with pytest.raises(ValueError, match="serves up to"):
+        make_source(DataConfig(dataset="cifar10", data_dir=str(tmp_path)),
+                    64)

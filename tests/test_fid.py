@@ -157,3 +157,25 @@ class TestPrecisionRecall:
         fake = rng.randn(200, 4) * 0.3 + 50.0  # far off-manifold
         p, _ = compute_precision_recall(real, fake)
         assert p < 0.1
+
+
+def test_inception_extractor_batched_consistency():
+    """The batched extractor equals a single-shot pool3 call."""
+    import jax.numpy as jnp
+
+    from ganlab_tpu.eval.inception import (
+        InceptionExtractor,
+        init_inception_params,
+        inception_pool3,
+        preprocess,
+    )
+
+    params = init_inception_params(seed=1)
+    ex = InceptionExtractor(params=params, batch=2)
+    assert ex.pretrained  # explicit params count as provided weights
+    x = np.random.RandomState(3).rand(5, 32, 32, 3).astype(np.float32)
+    x = x * 2 - 1
+    got = ex(x)
+    want = np.asarray(inception_pool3(params, preprocess(jnp.asarray(x))))
+    assert got.shape == (5, 2048)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
