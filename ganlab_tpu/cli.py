@@ -73,6 +73,8 @@ def main(argv=None) -> int:
     p_fid = sub.add_parser("eval-fid", help="FID of a checkpoint vs dataset")
     _add_common(p_fid)
     p_fid.add_argument("--num-samples", type=int, default=10000)
+    p_fid.add_argument("--metrics", default="fid",
+                       help="comma list of fid,kid,pr (default fid)")
 
     p_interp = sub.add_parser("interpolate",
                               help="latent-walk frame grid from a checkpoint")
@@ -140,11 +142,14 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "eval-fid":
-        from ganlab_tpu.eval.fid import evaluate_checkpoint_fid
+        from ganlab_tpu.eval.fid import evaluate_checkpoint_metrics
 
-        score = evaluate_checkpoint_fid(cfg, workdir=args.workdir,
-                                        num_samples=args.num_samples)
-        print(f"FID: {score:.4f}")
+        wanted = tuple(m.strip() for m in args.metrics.split(","))
+        scores = evaluate_checkpoint_metrics(
+            cfg, workdir=args.workdir, num_samples=args.num_samples,
+            metrics=wanted)
+        for name, value in scores.items():
+            print(f"{name.upper()}: {value:.4f}")
         return 0
 
     if args.cmd == "interpolate":

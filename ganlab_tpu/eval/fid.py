@@ -158,10 +158,36 @@ def get_extractor(weights_path: str | None = None):
     return RandomConvExtractor()
 
 
+def evaluate_checkpoint_metrics(cfg, workdir: str, num_samples: int = 10000,
+                                extractor=None, source=None,
+                                batch: int = 64,
+                                metrics: tuple = ("fid",)) -> dict:
+    """Feature-space metrics (fid / kid / pr) between G-EMA samples from the
+    latest checkpoint and the dataset."""
+    real, fake = _collect_features(cfg, workdir, num_samples, extractor,
+                                   source, batch)
+    out = {}
+    if "fid" in metrics:
+        out["fid"] = compute_fid(real, fake)
+    if "kid" in metrics:
+        out["kid"] = compute_kid(real, fake)
+    if "pr" in metrics:
+        p, r = compute_precision_recall(real, fake)
+        out["precision"], out["recall"] = p, r
+    return out
+
+
 def evaluate_checkpoint_fid(cfg, workdir: str, num_samples: int = 10000,
                             extractor=None, source=None,
                             batch: int = 64) -> float:
     """FID between G-EMA samples from the latest checkpoint and the dataset."""
+    real, fake = _collect_features(cfg, workdir, num_samples, extractor,
+                                   source, batch)
+    return compute_fid(real, fake)
+
+
+def _collect_features(cfg, workdir: str, num_samples: int,
+                      extractor, source, batch: int):
     from ganlab_tpu.data import make_source
     from ganlab_tpu.train.checkpoint import CheckpointManager
     from ganlab_tpu.train.state import create_train_state
@@ -201,5 +227,4 @@ def evaluate_checkpoint_fid(cfg, workdir: str, num_samples: int = 10000,
         done += b
 
     ckpt.close()
-    return compute_fid(np.concatenate(real_feats),
-                       np.concatenate(fake_feats))
+    return np.concatenate(real_feats), np.concatenate(fake_feats)

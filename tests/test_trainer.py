@@ -189,7 +189,8 @@ def test_cli_eval_fid(tmp_path):
     assert main(["train", "--preset", "resnetgan-cifar10", "--workdir",
                  workdir, "--max-steps", "1", "--no-mesh", *common]) == 0
     assert main(["eval-fid", "--preset", "resnetgan-cifar10",
-                 "--workdir", workdir, "--num-samples", "16", *common]) == 0
+                 "--workdir", workdir, "--num-samples", "16",
+                 "--metrics", "fid,kid,pr", *common]) == 0
 
 
 def test_learner_api_surface(tmp_path):
