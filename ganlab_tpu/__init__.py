@@ -21,3 +21,25 @@ not a translation.
 """
 
 __version__ = "0.1.0"
+
+_API = {
+    "Config": "ganlab_tpu.config",
+    "get_config": "ganlab_tpu.config",
+    "load_config": "ganlab_tpu.config",
+    "Trainer": "ganlab_tpu.train.loop",
+    "Learner": "ganlab_tpu.learners",
+    "ResNetGANLearner": "ganlab_tpu.learners",
+    "ProGANLearner": "ganlab_tpu.learners",
+    "StyleGANLearner": "ganlab_tpu.learners",
+    "build_models": "ganlab_tpu.models",
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (PEP 562): ``ganlab_tpu.Trainer`` etc. without
+    importing jax/flax at package-import time."""
+    if name in _API:
+        import importlib
+
+        return getattr(importlib.import_module(_API[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

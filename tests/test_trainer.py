@@ -257,3 +257,13 @@ def test_cli_config_file(tmp_path):
                "--set", "run.log_every=1"])
     assert rc == 0
     assert os.path.isdir(os.path.join(workdir, "checkpoints"))
+
+
+def test_top_level_api_exports():
+    import ganlab_tpu
+
+    assert callable(ganlab_tpu.get_config)
+    assert ganlab_tpu.Trainer.__name__ == "Trainer"
+    assert ganlab_tpu.StyleGANLearner.MODEL == "stylegan"
+    with pytest.raises(AttributeError):
+        ganlab_tpu.nope
