@@ -82,6 +82,11 @@ class OptimConfig:
     beta2: float = 0.99
     eps: float = 1e-8
     ema_beta: float = 0.999            # generator EMA decay
+    # Per-resolution learning-rate multipliers (ProGAN-style per-phase lr
+    # tweaks, e.g. {512: 1.5, 1024: 2.0}); applied to both G and D during
+    # phases at that output resolution. Adam state is lr-independent, so
+    # the multiplier changes nothing about checkpoint compatibility.
+    lr_mult_by_res: dict[int, float] = field(default_factory=dict)
 
 
 @dataclass(frozen=True)

@@ -33,11 +33,16 @@ class TrainState(struct.PyTreeNode):
     shown_imgs: jax.Array       # float32 global shown-image counter
 
 
-def make_optimizers(cfg: Config) -> tuple[optax.GradientTransformation,
-                                          optax.GradientTransformation]:
+def make_optimizers(cfg: Config, resolution: int | None = None
+                    ) -> tuple[optax.GradientTransformation,
+                               optax.GradientTransformation]:
+    """Adam pair; ``resolution`` applies the per-phase lr multiplier
+    (optim.lr_mult_by_res). Adam state is lr-independent, so per-phase
+    optimizers share one checkpointed state."""
     o = cfg.optim
-    opt_g = optax.adam(o.lr_g, b1=o.beta1, b2=o.beta2, eps=o.eps)
-    opt_d = optax.adam(o.lr_d, b1=o.beta1, b2=o.beta2, eps=o.eps)
+    mult = o.lr_mult_by_res.get(resolution, 1.0) if resolution else 1.0
+    opt_g = optax.adam(o.lr_g * mult, b1=o.beta1, b2=o.beta2, eps=o.eps)
+    opt_d = optax.adam(o.lr_d * mult, b1=o.beta1, b2=o.beta2, eps=o.eps)
     return opt_g, opt_d
 
 

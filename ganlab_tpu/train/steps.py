@@ -126,7 +126,7 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
     res_log2 = phase.res_log2
     g_model, gen_forward = build_generator_forward(cfg, res_log2)
     _, d_model = build_models(cfg.model)
-    opt_g, opt_d = make_optimizers(cfg)
+    opt_g, opt_d = make_optimizers(cfg, resolution=phase.resolution)
     dtype = _dtype_of(cfg)
     lc = cfg.loss
     d_loss_fn_base = L.D_LOSSES[lc.loss]

@@ -358,3 +358,22 @@ class TestFusedStep:
                 total += mask.sum()
             assert total > 0
             assert agree / total > 0.95, (agree, total)
+
+
+def test_per_resolution_lr_multiplier():
+    """optim.lr_mult_by_res scales the phase's update magnitude; Adam state
+    stays structurally identical (checkpoint-compatible across phases)."""
+    batch = fake_batch(4, 16, seed=13)
+    deltas = {}
+    for mult in (1.0, 4.0):
+        cfg = tiny_config("resnetgan",
+                          **{"optim.lr_mult_by_res": {16: mult}})
+        phase = build_phases(cfg.schedule, cfg.model)[-1]
+        state = create_train_state(cfg, jax.random.PRNGKey(6))
+        g0 = np.asarray(jax.tree.leaves(state.params_g)[0])
+        step = make_single_step(build_train_step(cfg, phase))
+        state, _ = step(state, batch)
+        g1 = np.asarray(jax.tree.leaves(state.params_g)[0])
+        deltas[mult] = np.abs(g1 - g0).mean()
+    # First Adam step magnitude is ~lr, so 4x lr -> ~4x delta.
+    assert deltas[4.0] == pytest.approx(4.0 * deltas[1.0], rel=0.05)
