@@ -15,6 +15,23 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
+def _coerce_int_keys(d: dict, what: str) -> dict:
+    """Coerce digit-string keys (JSON objects force string keys) to int.
+
+    Without this, a JSON config's ``schedule.batch_schedule`` /
+    ``optim.lr_mult_by_res`` would carry ``{"256": 8}`` and every lookup
+    would silently miss, falling back to defaults."""
+    out = {}
+    for k, v in d.items():
+        if isinstance(k, str):
+            if not k.isdigit():
+                raise ValueError(
+                    f"{what} keys must be int resolutions, got {k!r}")
+            k = int(k)
+        out[k] = v
+    return out
+
+
 def res_to_log2(res: int) -> int:
     lg = int(math.log2(res))
     if 2 ** lg != res or res < 4:
@@ -87,6 +104,29 @@ class OptimConfig:
     # phases at that output resolution. Adam state is lr-independent, so
     # the multiplier changes nothing about checkpoint compatibility.
     lr_mult_by_res: dict[int, float] = field(default_factory=dict)
+    # Generator EMA half-life in thousands of images. When set (> 0) it
+    # overrides ema_beta with beta = 0.5 ** (global_batch / (ema_kimg*1000))
+    # per step, making the EMA horizon invariant to batch size and device
+    # count (the official implementations specify EMA in kimg; a per-step
+    # beta shrinks the horizon x N_devices under DP). None keeps ema_beta.
+    ema_kimg: float | None = None
+    # Reinitialize Adam moments at progressive phase boundaries (the
+    # reference rebuilds/extends optimizers on growth, SURVEY.md:207).
+    # Default False: stale moments on so-far-unused params are zero and the
+    # used ones decay quickly, but the switch enables a reference-semantics
+    # FID A/B.
+    reset_moments_on_phase: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "lr_mult_by_res",
+                           _coerce_int_keys(self.lr_mult_by_res,
+                                            "optim.lr_mult_by_res"))
+
+    def ema_beta_for(self, global_batch: int) -> float:
+        """Per-step EMA decay for a given global batch (see ema_kimg)."""
+        if self.ema_kimg and self.ema_kimg > 0:
+            return 0.5 ** (global_batch / (self.ema_kimg * 1000.0))
+        return self.ema_beta
 
 
 @dataclass(frozen=True)
@@ -108,6 +148,11 @@ class ScheduleConfig:
         4: 16, 8: 16, 16: 16, 32: 16, 64: 16, 128: 8, 256: 8, 512: 4, 1024: 4,
     })
     batch_default: int = 16
+
+    def __post_init__(self):
+        object.__setattr__(self, "batch_schedule",
+                           _coerce_int_keys(self.batch_schedule,
+                                            "schedule.batch_schedule"))
 
     def batch_for(self, res: int) -> int:
         return self.batch_schedule.get(res, self.batch_default)

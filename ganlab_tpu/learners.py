@@ -54,12 +54,22 @@ class Learner:
         self.trainer.ckpt.wait()
 
     def load_model(self) -> bool:
-        """Restore the latest checkpoint; True if one existed."""
-        restored = self.trainer.ckpt.restore(
-            jax.device_get(self.trainer.state))
+        """Restore the latest checkpoint; True if one existed.
+
+        Mirrors Trainer.__init__: the restored host-side state is
+        re-replicated over the trainer's mesh, and cached steppers are
+        dropped so their lazy-regularization counters re-seed from the
+        restored optimizer step."""
+        trainer = self.trainer
+        restored = trainer.ckpt.restore(jax.device_get(trainer.state))
         if restored is None:
             return False
-        self.trainer.state = restored
+        if trainer.mesh is not None:
+            from ganlab_tpu.parallel import replicate
+
+            restored = replicate(restored, trainer.mesh)
+        trainer.state = restored
+        trainer._steps.clear()
         return True
 
     def gen_samples(self, tag: str = "samples",

@@ -122,10 +122,16 @@ class Trainer:
         shown = float(jax.device_get(self.state.shown_imgs))
         metrics = {}
 
+        last_phase_index = None
         while True:
             phase = phase_at(self.phases, int(shown))
             if shown >= self.phases[-1].end_img:
                 break
+            if (cfg.optim.reset_moments_on_phase
+                    and last_phase_index is not None
+                    and phase.index != last_phase_index):
+                self._reset_optimizer_moments()
+            last_phase_index = phase.index
             step_fn = self._step_fn(phase)
             # This host feeds its local devices' rows; the device-side
             # shown-image counter (and therefore fade-in alpha) advances by
@@ -170,6 +176,20 @@ class Trainer:
                         self.save_checkpoint()
         self._finish()
         return metrics
+
+    def _reset_optimizer_moments(self) -> None:
+        """Reinitialize Adam moments at a progressive phase boundary
+        (optim.reset_moments_on_phase — the reference rebuilds/extends its
+        optimizers on growth, SURVEY.md:207)."""
+        from ganlab_tpu.train.state import make_optimizers
+
+        opt_g, opt_d = make_optimizers(self.cfg)
+        state = jax.device_get(self.state)
+        state = state.replace(opt_g=opt_g.init(state.params_g),
+                              opt_d=opt_d.init(state.params_d))
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        self.state = state
 
     def _stop_trace(self, metrics=None):
         if getattr(self, "_trace_active", False):

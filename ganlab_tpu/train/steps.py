@@ -162,15 +162,29 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
     def derive_keys(state, n):
         """Per-device sampling keys + the replicated next key.
 
-        The mesh position folds into the sampling keys only (each device
-        draws its own latents); the state key advances identically on every
-        device so the state stays replica-identical."""
-        base = state.rng
+        All n+1 keys come from ONE split of the state key, so the carried
+        key is never one of the keys consumed this step and no threefry
+        counter range is shared across steps. The mesh position folds into
+        the sampling keys only (each device draws its own latents); the
+        state key advances identically on every device so the state stays
+        replica-identical."""
+        ks = jax.random.split(state.rng, n + 1)
+        keys = ks[1:]
         if axis_name and fold_device_rng:
-            local = jax.random.fold_in(base, lax.axis_index(axis_name))
-        else:
-            local = base
-        return jax.random.split(local, n), jax.random.split(base, 1)[0]
+            idx = lax.axis_index(axis_name)
+            keys = jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
+        return keys, ks[0]
+
+    def ema_beta(batch: int):
+        """Per-step G-EMA decay. With optim.ema_kimg set, the decay is
+        derived from the GLOBAL batch so the EMA's image-space horizon is
+        invariant to batch size and device count (official implementations
+        specify EMA in kimg); otherwise the flat per-step ema_beta."""
+        kimg = cfg.optim.ema_kimg
+        if not kimg or kimg <= 0:
+            return cfg.optim.ema_beta
+        n_dev = lax.psum(1, axis_name) if axis_name else 1
+        return 0.5 ** (batch * n_dev / (kimg * 1000.0))
 
     def penalty_term(params_d, alpha, real, fake_sg, k_gp, real_s):
         penalty = jnp.float32(0.0)
@@ -258,7 +272,7 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             g_updates, new_opt_g = opt_g.update(g_grads, opt_g_state,
                                                 params_g)
             new_params_g = optax.apply_updates(params_g, g_updates)
-            new_ema = _ema_update(ema, new_params_g, cfg.optim.ema_beta)
+            new_ema = _ema_update(ema, new_params_g, ema_beta(batch))
             new_w_avg = update_w_avg(w_avg, w_mean)
             return new_params_g, new_opt_g, new_ema, new_w_avg, g_loss
 
@@ -324,7 +338,7 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                                             state.params_g)
         new_params_g = optax.apply_updates(state.params_g, g_updates)
         new_ema = _ema_update(state.params_ema, new_params_g,
-                              cfg.optim.ema_beta)
+                              ema_beta(batch))
         new_w_avg = update_w_avg(state.w_avg, aux["w_mean"])
 
         return assemble(state, params_g=new_params_g, params_d=new_params_d,

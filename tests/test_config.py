@@ -1,0 +1,56 @@
+"""Config-system unit tests: key coercion, EMA-in-kimg math, presets."""
+
+import dataclasses
+
+import pytest
+
+from ganlab_tpu.config import (
+    OptimConfig,
+    PRESETS,
+    ScheduleConfig,
+    get_config,
+    load_config,
+)
+
+
+def test_json_int_keyed_dicts_coerced(tmp_path):
+    """JSON objects force string keys; batch_schedule / lr_mult_by_res
+    lookups must still hit (ADVICE r1: silent fallback to defaults)."""
+    path = tmp_path / "cfg.json"
+    path.write_text(
+        '{"preset": "stylegan-256",'
+        ' "schedule": {"batch_schedule": {"256": 8, "128": 12}},'
+        ' "optim": {"lr_mult_by_res": {"256": 1.5}}}')
+    cfg = load_config(str(path))
+    assert cfg.schedule.batch_for(256) == 8
+    assert cfg.schedule.batch_for(128) == 12
+    assert cfg.optim.lr_mult_by_res.get(256) == 1.5
+
+
+def test_direct_string_keys_coerced_and_invalid_rejected():
+    sc = ScheduleConfig(batch_schedule={"64": 32})
+    assert sc.batch_for(64) == 32
+    oc = OptimConfig(lr_mult_by_res={"512": 2.0})
+    assert oc.lr_mult_by_res == {512: 2.0}
+    with pytest.raises(ValueError):
+        ScheduleConfig(batch_schedule={"not-a-res": 4})
+
+
+def test_ema_beta_for_kimg():
+    o = OptimConfig(ema_beta=0.999, ema_kimg=None)
+    assert o.ema_beta_for(64) == 0.999
+    o2 = OptimConfig(ema_kimg=10.0)
+    # half-life of 10 kimg: after 10000 images the weight halves.
+    beta = o2.ema_beta_for(100)
+    assert beta == pytest.approx(0.5 ** (100 / 10000.0))
+    # Horizon invariance: beta**(steps) equal when batch x steps match.
+    assert o2.ema_beta_for(100) ** 8 == pytest.approx(
+        o2.ema_beta_for(800), rel=1e-12)
+
+
+def test_all_presets_construct():
+    for name in PRESETS:
+        cfg = get_config(name)
+        assert cfg.model.resolution >= 32
+        # batch schedule covers the final resolution or falls back.
+        assert cfg.schedule.batch_for(cfg.model.resolution) >= 1

@@ -61,6 +61,45 @@ def test_step_runs_and_updates(model):
     assert not np.allclose(np.asarray(old_g), np.asarray(new_g))
 
 
+def test_ema_kimg_beta_applied():
+    """With optim.ema_kimg set the EMA uses the kimg-derived decay."""
+    kimg = 0.01  # half-life of 10 images
+    cfg = tiny_config("resnetgan", **{"optim.ema_kimg": kimg})
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_single_step(build_train_step(cfg, phase))
+
+    old_ema = jax.device_get(state.params_ema)
+    state2, _ = step(state, fake_batch(4, 16))
+    beta = 0.5 ** (4 / (kimg * 1000.0))
+    expect = jax.tree.map(
+        lambda e, p: e * beta + np.asarray(p, e.dtype) * (1 - beta),
+        old_ema, jax.device_get(state2.params_g))
+    got = jax.device_get(state2.params_ema)
+    for a, b in zip(jax.tree.leaves(expect), jax.tree.leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_rng_key_not_reused_across_steps():
+    """The carried state key must differ from every key consumed in the
+    step (ADVICE r1: split(base,1)[0] aliased the first consumed key)."""
+    def raw(k):
+        if jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
+            k = jax.random.key_data(k)
+        return np.asarray(k)
+
+    base = jax.random.PRNGKey(3)
+    n = 6
+    ks = jax.random.split(base, n + 1)
+    consumed, nxt = ks[1:], ks[0]
+    # Next step's split must not reproduce any of this step's keys.
+    ks2 = jax.random.split(nxt, n + 1)
+    a = np.concatenate([raw(consumed), raw(ks2[1:])])
+    flat = {tuple(row) for row in a.reshape(2 * n, -1)}
+    assert len(flat) == 2 * n
+    assert tuple(raw(nxt).ravel()) not in flat
+
+
 def test_determinism_fixed_seed():
     cfg = tiny_config("resnetgan")
     phase = build_phases(cfg.schedule, cfg.model)[-1]
@@ -303,8 +342,9 @@ class TestFusedStep:
         state = create_train_state(cfg, jax.random.PRNGKey(2))
         batch_u8 = fake_batch(4, 16, seed=3)
 
-        # Reproduce step_fused's key derivation and preprocessing.
-        k_flip, k_z, k_n, k_gp = jax.random.split(state.rng, 4)
+        # Reproduce step_fused's key derivation and preprocessing
+        # (derive_keys: one split of n+1, ks[0] carried, ks[1:] consumed).
+        k_flip, k_z, k_n, k_gp = jax.random.split(state.rng, 5)[1:]
         real = _preprocess(batch_u8, cfg.data.hflip, k_flip, jnp.float32)
         _, gen_fwd = build_generator_forward(cfg, phase.res_log2)
         _, d_model = build_models(cfg.model)
