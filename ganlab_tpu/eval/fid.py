@@ -161,11 +161,17 @@ def get_extractor(weights_path: str | None = None):
 def evaluate_checkpoint_metrics(cfg, workdir: str, num_samples: int = 10000,
                                 extractor=None, source=None,
                                 batch: int = 64,
-                                metrics: tuple = ("fid",)) -> dict:
+                                metrics: tuple = ("fid",),
+                                cache_real: bool = True) -> dict:
     """Feature-space metrics (fid / kid / pr) between G-EMA samples from the
-    latest checkpoint and the dataset."""
+    latest checkpoint and the dataset.
+
+    Real-dataset features are cached under <workdir>/fid_cache keyed by
+    (extractor, dataset, resolution, num_samples) — the dataset side is
+    identical across evaluations of the same run, so repeated eval-fid
+    calls pay only the generator+extractor half (VERDICT r1 weak #8)."""
     real, fake = _collect_features(cfg, workdir, num_samples, extractor,
-                                   source, batch)
+                                   source, batch, cache_real=cache_real)
     out = {}
     if "fid" in metrics:
         out["fid"] = compute_fid(real, fake)
@@ -186,8 +192,16 @@ def evaluate_checkpoint_fid(cfg, workdir: str, num_samples: int = 10000,
     return compute_fid(real, fake)
 
 
+def _real_cache_path(cfg, workdir: str, extractor, num_samples: int) -> str:
+    tag = (f"{getattr(extractor, 'name', 'extractor')}_"
+           f"{cfg.data.dataset}_{cfg.model.resolution}_"
+           f"n{num_samples}_s{cfg.run.seed}")
+    return os.path.join(workdir, "fid_cache", f"real_{tag}.npz")
+
+
 def _collect_features(cfg, workdir: str, num_samples: int,
-                      extractor, source, batch: int):
+                      extractor, source, batch: int,
+                      cache_real: bool = True):
     from ganlab_tpu.data import make_source
     from ganlab_tpu.train.checkpoint import CheckpointManager
     from ganlab_tpu.train.state import create_train_state
@@ -207,10 +221,17 @@ def _collect_features(cfg, workdir: str, num_samples: int,
         raise FileNotFoundError(f"no checkpoint under {workdir}")
     state = restored
 
-    source = source or make_source(cfg.data, cfg.model.resolution,
-                                   seed=cfg.run.seed + 99)
+    cache_path = _real_cache_path(cfg, workdir, extractor, num_samples)
+    real_cached = None
+    if cache_real and os.path.exists(cache_path):
+        real_cached = np.load(cache_path)["features"]
+        print(f"real-feature cache hit: {cache_path}", flush=True)
+
     sample = jax.jit(build_sample_fn(cfg, cfg.model.res_log2))
     key = jax.random.PRNGKey(cfg.run.seed + 7)
+    if real_cached is None:
+        source = source or make_source(cfg.data, cfg.model.resolution,
+                                       seed=cfg.run.seed + 99)
 
     fake_feats, real_feats = [], []
     done = 0
@@ -221,10 +242,16 @@ def _collect_features(cfg, workdir: str, num_samples: int,
         fake = sample(state.params_ema, state.w_avg, z, kn,
                       cfg.model.truncation_psi, 1.0)
         fake_feats.append(extractor(np.asarray(fake)))
-        real_u8 = source.batch(b, cfg.model.resolution)
-        real = real_u8.astype(np.float32) / 127.5 - 1.0
-        real_feats.append(extractor(real))
+        if real_cached is None:
+            real_u8 = source.batch(b, cfg.model.resolution)
+            real = real_u8.astype(np.float32) / 127.5 - 1.0
+            real_feats.append(extractor(real))
         done += b
 
     ckpt.close()
-    return np.concatenate(real_feats), np.concatenate(fake_feats)
+    if real_cached is None:
+        real_cached = np.concatenate(real_feats)
+        if cache_real:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            np.savez_compressed(cache_path, features=real_cached)
+    return real_cached, np.concatenate(fake_feats)

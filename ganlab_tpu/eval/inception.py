@@ -286,12 +286,20 @@ def load_torch_state_dict(path: str) -> dict:
 
 
 def preprocess(images_m11) -> jax.Array:
-    """[-1, 1] NHWC at any resolution -> (N, 299, 299, 3) bilinear."""
+    """[-1, 1] NHWC at any resolution -> (N, 299, 299, 3) bilinear.
+
+    ``antialias=False`` matches pytorch-fid's
+    ``F.interpolate(mode="bilinear", align_corners=False)`` exactly (both
+    use half-pixel-center sampling without a low-pass filter; jax defaults
+    to antialias=True which diverges when downscaling). Parity is asserted
+    against a torch oracle in tests/test_fid.py.
+    """
     x = images_m11
     if x.shape[-1] == 1:
         x = jnp.tile(x, (1, 1, 1, 3))
     if x.shape[1] != 299:
-        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
+        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear",
+                             antialias=False)
     return x
 
 

@@ -107,6 +107,85 @@ class TestInceptionPort:
             (1, 1, 2048, 192)
 
 
+class TestTorchForwardParity:
+    """The JAX InceptionV3 port vs an independent torch implementation
+    (VERDICT r1 #1: the judged FID rests on this forward math).
+
+    Shared random weights with NONTRIVIAL batchnorm statistics; torch's own
+    conv2d / batch_norm / avg_pool2d(count_include_pad=False) / max_pool2d /
+    interpolate are the oracle for every numeric choice the port encodes.
+    """
+
+    @pytest.fixture(scope="class")
+    def shared(self, tmp_path_factory):
+        import torch
+
+        from ganlab_tpu.eval.inception import load_torch_state_dict
+        from tests.torch_inception_oracle import random_state_dict
+
+        sd = random_state_dict(seed=11)
+        path = tmp_path_factory.mktemp("w") / "rand_inception.pth"
+        torch.save(sd, path)
+        params = load_torch_state_dict(str(path))
+        return sd, params
+
+    def _rel_err(self, got, want):
+        scale = np.maximum(np.abs(want).max(), 1e-12)
+        return np.abs(got - want).max() / scale
+
+    def test_pool3_parity_at_299(self, shared):
+        from ganlab_tpu.eval.inception import inception_pool3
+        from tests.torch_inception_oracle import torch_pool3
+        import jax.numpy as jnp
+
+        sd, params = shared
+        rng = np.random.default_rng(0)
+        x = (rng.random((2, 299, 299, 3), np.float32) * 2 - 1)
+        want = torch_pool3(sd, x)
+        got = np.asarray(inception_pool3(params, jnp.asarray(x)))
+        assert self._rel_err(got, want) < 1e-4, self._rel_err(got, want)
+
+    @pytest.mark.parametrize("res", [64, 256])
+    def test_resize_parity(self, res):
+        """jax.image.resize(bilinear, antialias=False) ==
+        F.interpolate(bilinear, align_corners=False) upscaling to 299."""
+        from ganlab_tpu.eval.inception import preprocess
+        from tests.torch_inception_oracle import torch_resize_299
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(res)
+        x = (rng.random((2, res, res, 3), np.float32) * 2 - 1)
+        want = torch_resize_299(x)
+        got = np.asarray(preprocess(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_downscale_resize_parity(self):
+        """512 -> 299 is a DOWNSCALE: antialias=False is what makes the
+        jax path match torch here."""
+        from ganlab_tpu.eval.inception import preprocess
+        from tests.torch_inception_oracle import torch_resize_299
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        x = (rng.random((1, 512, 512, 3), np.float32) * 2 - 1)
+        want = torch_resize_299(x)
+        got = np.asarray(preprocess(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_full_pipeline_parity_from_64(self, shared):
+        """End-to-end: resize from 64^2 + pool3, the judged-FID data path."""
+        from ganlab_tpu.eval.inception import inception_pool3, preprocess
+        from tests.torch_inception_oracle import torch_pool3, torch_resize_299
+        import jax.numpy as jnp
+
+        sd, params = shared
+        rng = np.random.default_rng(3)
+        x = (rng.random((2, 64, 64, 3), np.float32) * 2 - 1)
+        want = torch_pool3(sd, torch_resize_299(x))
+        got = np.asarray(inception_pool3(params, preprocess(jnp.asarray(x))))
+        assert self._rel_err(got, want) < 1e-4, self._rel_err(got, want)
+
+
 class TestKID:
     def test_identical_near_zero(self):
         from ganlab_tpu.eval import compute_kid

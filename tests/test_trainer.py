@@ -275,6 +275,11 @@ def test_cli_eval_fid(tmp_path):
     assert main(["eval-fid", "--preset", "resnetgan-cifar10",
                  "--workdir", workdir, "--num-samples", "16",
                  "--metrics", "fid,kid,pr", *common]) == 0
+    # Real-dataset features were cached; a re-eval hits the cache.
+    cache_dir = os.path.join(workdir, "fid_cache")
+    assert os.path.isdir(cache_dir) and os.listdir(cache_dir)
+    assert main(["eval-fid", "--preset", "resnetgan-cifar10",
+                 "--workdir", workdir, "--num-samples", "16", *common]) == 0
 
 
 def test_learner_api_surface(tmp_path):
