@@ -41,8 +41,18 @@ def make_mesh(devices: Sequence[jax.Device] | None = None,
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree replicated over the mesh."""
+    """Place a pytree replicated over the mesh.
+
+    Multi-host: ``device_put`` cannot target another host's devices, so the
+    replicated global arrays are assembled from each host's (identical)
+    copy via ``make_array_from_process_local_data`` — every host holds the
+    full value, the sharding spans the whole DCN-connected mesh.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.device_put(tree, sharding)
 
 

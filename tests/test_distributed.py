@@ -211,3 +211,50 @@ def test_fused_step_under_shard_map(mesh):
     np.testing.assert_allclose(np.asarray(state_dp.w_avg),
                                np.asarray(state_1.w_avg),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_two_process_distributed_matches_single_process(tmp_path):
+    """REAL multi-process jax.distributed (SURVEY.md:346-348): two CPU
+    processes with 4 fake devices each form one 8-device mesh; each feeds
+    its local shard through shard_batch's make_array_from_process_local_data
+    branch and state replication goes through the multi-host replicate
+    branch. Both processes must agree with each other AND with the
+    single-process 8-device run on the same global batches."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from tests import dist_two_process as harness
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = os.path.join(os.path.dirname(__file__), "dist_two_process.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(script))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(pid), str(port), str(tmp_path)],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+        for pid in (0, 1)]
+    errs = [p.communicate(timeout=600)[1] for p in procs]
+    for p, e in zip(procs, errs):
+        assert p.returncode == 0, e.decode()[-2000:]
+
+    results = []
+    for pid in (0, 1):
+        with open(tmp_path / f"result_p{pid}.json") as f:
+            results.append(json.load(f))
+
+    # Reference: the same harness on THIS process's 8 fake devices.
+    want = harness.run_dp_steps()
+
+    for got in results:
+        assert set(got) == set(want)
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v, rel=2e-5, abs=1e-6), \
+                (k, got[k], v)
