@@ -160,7 +160,7 @@ class ScheduleConfig:
 
 @dataclass(frozen=True)
 class DataConfig:
-    dataset: str = "synthetic"         # 'synthetic'|'cifar10'|'image_folder'|'tfrecords'
+    dataset: str = "synthetic"         # 'synthetic'|'cifar10'|'image_folder'|'image_folder_stream'|'npy'
     data_dir: str | None = None
     hflip: bool = True
     num_workers: int = 8

@@ -204,8 +204,13 @@ def _make_source(data_cfg: DataConfig, resolution: int, seed: int):
         return GrainImageFolderSource(data_cfg.data_dir, resolution,
                                       seed=seed,
                                       num_workers=data_cfg.num_workers)
-    if name == "tfrecords" or name == "npy":
+    if name == "npy":
         return NpySource(data_cfg.data_dir, seed=seed)
+    if name == "tfrecords":
+        raise ValueError(
+            "dataset='tfrecords' was a misnomer for the npy shard format "
+            "and has been removed; use dataset='npy' with the shards "
+            "written by `ganlab prepare-data`")
     raise ValueError(f"unknown dataset {name!r}")
 
 

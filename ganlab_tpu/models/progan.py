@@ -41,6 +41,15 @@ from ganlab_tpu.ops import (
 from ganlab_tpu.ops.equalized import leaky_relu
 
 
+def static_stable(alpha) -> bool:
+    """True when ``alpha`` is the static Python constant 1.0 (stabilize
+    phase). The fade branch is then skipped ENTIRELY at trace time: XLA
+    cannot DCE ``0 * old_head`` itself (NaN semantics), so tracing it would
+    pay the old head's compute and activation memory in every stabilize
+    phase — at 1024^2 that dead branch alone is tens of MB of HBM."""
+    return isinstance(alpha, (int, float)) and float(alpha) == 1.0
+
+
 class GBlock(nn.Module):
     """One generator resolution block: upsample -> 2x (conv3x3 + lrelu + PN)."""
 
@@ -143,6 +152,8 @@ class ProGenerator(nn.Module):
             prev = x
             x = self.blocks[stage - 3](x)
         new_rgb = self.torgb[lg - 2](x)
+        if static_stable(alpha):
+            return new_rgb
         old_rgb = upsample_nearest_2x(self.torgb[lg - 3](prev))
         return fade_in(alpha, new_rgb, old_rgb)
 
@@ -195,10 +206,12 @@ class ProDiscriminator(nn.Module):
         else:
             x = leaky_relu(self.fromrgb[lg - 2](img))
             x = self.blocks[lg - 3](x)
-            # Fade-in: blend with the previous head on a downsampled image.
-            img_lo = downsample_avg_2x(img)
-            x_old = leaky_relu(self.fromrgb[lg - 3](img_lo))
-            x = fade_in(alpha, x, x_old)
+            if not static_stable(alpha):
+                # Fade-in: blend with the previous head on a downsampled
+                # image (skipped entirely in stabilize phases).
+                img_lo = downsample_avg_2x(img)
+                x_old = leaky_relu(self.fromrgb[lg - 3](img_lo))
+                x = fade_in(alpha, x, x_old)
             for lg2 in range(lg - 1, 2, -1):
                 x = self.blocks[lg2 - 3](x)
         return self.out_block(x)

@@ -31,6 +31,7 @@ from ganlab_tpu.models.layers import (
     StyleAffine,
     ConstInput,
 )
+from ganlab_tpu.models.progan import static_stable
 from ganlab_tpu.ops import (
     pixel_norm,
     adain,
@@ -150,6 +151,10 @@ class SynthesisNetwork(nn.Module):
             prev = x
             x = self._block(i, x, ws)
         new_rgb = self.torgb[lg - 2](x)
+        if static_stable(alpha):
+            # Stabilize phase: skip the dead fade branch at trace time
+            # (XLA cannot DCE 0*old_rgb; see models/progan.py).
+            return new_rgb
         old_rgb = upsample_nearest_2x(self.torgb[lg - 3](prev))
         return fade_in(alpha, new_rgb, old_rgb)
 

@@ -103,8 +103,10 @@ class Trainer:
 
     def _sampler(self, res_log2: int) -> Callable:
         if res_log2 not in self._samplers:
+            # alpha static: sampling is almost always at alpha=1.0, and a
+            # static 1.0 drops the fade branch from the compiled program.
             self._samplers[res_log2] = jax.jit(
-                build_sample_fn(self.cfg, res_log2))
+                build_sample_fn(self.cfg, res_log2), static_argnums=(5,))
         return self._samplers[res_log2]
 
     def _place(self, batch):

@@ -88,8 +88,12 @@ def build_generator_forward(cfg: Config, res_log2: int):
         k1, k2, kp, kc = jax.random.split(zkey, 4)
         z1 = jax.random.normal(k1, (batch, zdim), dtype)
         z2 = jax.random.normal(k2, (batch, zdim), dtype)
-        w1 = g_model.apply(params_g, z1, method="map_latents")
-        w2 = g_model.apply(params_g, z2, method="map_latents")
+        # One mapping pass over both latents: the mapping net is per-row,
+        # so mapping concat([z1, z2]) is bit-identical to two calls while
+        # halving the latency-bound small-GEMM chain at train batch sizes.
+        ww = g_model.apply(params_g, jnp.concatenate([z1, z2], axis=0),
+                           method="map_latents")
+        w1, w2 = ww[:batch], ww[batch:]
         use_mix = jax.random.bernoulli(kp, mix_prob)
         cross = jax.random.randint(kc, (), 1, nl)
         crossover = jnp.where(use_mix, cross, nl)
@@ -139,7 +143,10 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
 
     def alpha_of(shown):
         if not is_fade:
-            return jnp.float32(1.0)
+            # STATIC 1.0: lets the models skip the fade branch at trace
+            # time (models/progan.py::static_stable) — XLA cannot DCE the
+            # 0*old_head product itself.
+            return 1.0
         return jnp.clip((shown - fade_start) / fade_len, 0.0, 1.0)
 
     def d_apply(params_d, imgs, alpha):

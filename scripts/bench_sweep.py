@@ -26,6 +26,8 @@ def main():
     ap.add_argument("fused", nargs="?", type=int, default=0)
     ap.add_argument("--preset", default="stylegan-256")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--set", dest="sets", action="append", default=[],
+                    help="extra dotted config overrides, e.g. model.remat=True")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +47,8 @@ def main():
 
         plops.set_backend("pallas")
 
+    import ast
+
     over = {
         "schedule.progressive": False,
         "loss.penalty_every": args.penalty_every,
@@ -52,6 +56,12 @@ def main():
     }
     if args.res:
         over["model.resolution"] = args.res
+    for kv in args.sets:
+        key, _, val = kv.partition("=")
+        try:
+            over[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            over[key] = val
     cfg = get_config(args.preset, **over)
     res = cfg.model.resolution
     cfg = cfg.replace(schedule=cfg.schedule.__class__(

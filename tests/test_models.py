@@ -143,3 +143,57 @@ def test_stylegan_remat_preserves_values():
         img = g.apply(pg, z, rngs={"noise": jax.random.PRNGKey(6)})
         outs.append(np.asarray(img))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-6)
+
+
+class TestStaticAlphaFastPath:
+    """alpha=1.0 (static Python float, stabilize phases) must produce
+    bitwise the same outputs as the traced-alpha fade program at 1.0 —
+    it skips the dead fade branch entirely (HBM + compute win; XLA cannot
+    DCE 0*old_head)."""
+
+    def test_progan_g_and_d_match(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ganlab_tpu.config import ModelConfig
+        from ganlab_tpu.models import build_models
+
+        cfg = ModelConfig(model="progan", resolution=16, latent_dim=8,
+                          fmap_base=64, fmap_max=8)
+        g, d = build_models(cfg)
+        pg, pd = g.init_all(jax.random.PRNGKey(0)), d.init_all(
+            jax.random.PRNGKey(1))
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, 8))
+        img_static = g.apply(pg, z, 4, 1.0)
+        img_traced = jax.jit(
+            lambda p, z_, a: g.apply(p, z_, 4, a))(pg, z, jnp.float32(1.0))
+        np.testing.assert_allclose(np.asarray(img_static),
+                                   np.asarray(img_traced), atol=1e-6)
+        s_static = d.apply(pd, img_static, 4, 1.0)
+        s_traced = jax.jit(
+            lambda p, x, a: d.apply(p, x, 4, a))(pd, img_static,
+                                                 jnp.float32(1.0))
+        np.testing.assert_allclose(np.asarray(s_static),
+                                   np.asarray(s_traced), atol=1e-5)
+
+    def test_stylegan_synthesis_matches(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ganlab_tpu.config import ModelConfig
+        from ganlab_tpu.models import build_models
+
+        cfg = ModelConfig(model="stylegan", resolution=16, latent_dim=8,
+                          fmap_base=64, fmap_max=8, mapping_layers=2)
+        g, _ = build_models(cfg)
+        pg = g.init_all(jax.random.PRNGKey(0))
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, 8))
+        key = jax.random.PRNGKey(3)
+        a = jax.jit(lambda p, z_: g.apply(p, z_, 4, 1.0,
+                                          rngs={"noise": key}))(pg, z)
+        b = jax.jit(lambda p, z_, al: g.apply(p, z_, 4, al,
+                                              rngs={"noise": key}))(
+            pg, z, jnp.float32(1.0))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
