@@ -44,14 +44,12 @@ def interpret_mode() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def resample_compiles_on_tpu() -> bool:
-    """The resample kernels' horizontal phase slices the tiled sublane dim
-    at unaligned offsets, which Mosaic rejects on real TPUs (verified:
-    'Slice shape along dimension 2 must be aligned to tiling (8)'). Until
-    the Mosaic-aligned rewrite lands they only run in interpreter mode;
-    on TPU the dispatch uses the polyphase XLA path instead."""
-    return False
-
+# NOTE: the resample kernels (ops/pallas/resample.py) are interpreter-only
+# reference implementations: their horizontal phase slices the tiled sublane
+# dim at unaligned offsets (Mosaic: 'Slice shape along dimension 2 must be
+# aligned to tiling (8)'), and the depthwise-conv XLA forms measured fastest
+# on the real v5e regardless (BASELINE.md). There is deliberately no TPU
+# dispatch path to them.
 
 from ganlab_tpu.ops.pallas.pixelnorm import pixel_norm_pallas
 from ganlab_tpu.ops.pallas.resample import (

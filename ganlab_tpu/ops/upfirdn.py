@@ -138,18 +138,18 @@ def upsample_blur_2x(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
     upsampling is zero-insertion convolved with the box [1,1]; composing box
     and blur taps gives one kernel applied by a stride-2 transposed conv.
 
-    With the Pallas backend enabled (``ops.pallas.set_backend``) and default
-    taps, dispatches to the polyphase shift-add kernel in
-    ``ops/pallas/resample.py``.
+    The Pallas polyphase kernels in ``ops/pallas/resample.py`` are kept as
+    interpreter-validated reference implementations ONLY: their horizontal
+    phase slices the tiled sublane dim at unaligned offsets (Mosaic rejects
+    it on real TPUs), and this depthwise-conv form measured fastest on the
+    v5e anyway (BASELINE.md) — so there is deliberately NO TPU dispatch to
+    them ("only keep wins", SURVEY.md step 8).
     """
     if _default_taps(taps):
         from ganlab_tpu.ops import pallas as plops
 
-        if plops.use_pallas():
-            if plops.interpret_mode() or plops.resample_compiles_on_tpu():
-                return plops.upsample_blur_2x_pallas(x)
-            # On real TPU the depthwise-conv form below is the measured
-            # fastest (BASELINE.md); fall through.
+        if plops.use_pallas() and plops.interpret_mode():
+            return plops.upsample_blur_2x_pallas(x)
     t = np.asarray(taps, dtype=np.float32)
     # nearest-up = zero-stuff * box([1,1]);  then blur(t)  =>  t (*) [1,1]
     t2 = np.convolve(t, [1.0, 1.0])
@@ -177,16 +177,14 @@ def blur_downsample_2x(x: jax.Array, taps=(1.0, 2.0, 1.0)) -> jax.Array:
 
     Equivalent to ``downsample_avg_2x(blur2d(x))`` (parity-tested): the
     average pool is a stride-2 conv with box([1,1])/2 per axis; composing
-    gives one stride-2 kernel. Dispatches to the Pallas polyphase kernel
-    when the backend is enabled (see ``upsample_blur_2x``).
+    gives one stride-2 kernel. No TPU dispatch to the Pallas kernel — see
+    ``upsample_blur_2x``.
     """
     if _default_taps(taps):
         from ganlab_tpu.ops import pallas as plops
 
-        if plops.use_pallas():
-            if plops.interpret_mode() or plops.resample_compiles_on_tpu():
-                return plops.blur_downsample_2x_pallas(x)
-            # Depthwise-conv form is the measured fastest on TPU.
+        if plops.use_pallas() and plops.interpret_mode():
+            return plops.blur_downsample_2x_pallas(x)
     t = np.asarray(taps, dtype=np.float32)
     t2 = np.convolve(t, [0.5, 0.5])
     k2 = np.outer(t2, t2)
