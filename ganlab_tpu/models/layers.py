@@ -52,7 +52,15 @@ class EqualDense(nn.Module):
 
 
 class EqualConv(nn.Module):
-    """Equalized-LR conv (reference ``Conv2dEx``), NHWC/HWIO."""
+    """Equalized-LR conv (reference ``Conv2dEx``), NHWC/HWIO.
+
+    ``up2`` fuses a preceding 2x upsample into this conv as ONE composed
+    lhs-dilated convolution (``ops.upfirdn.up2_conv2d``): "nearest" for the
+    plain ProGAN G resampling, "blur" for StyleGAN's nearest+FIR. Exact to
+    the two-op form (boundary-ring corrected); the weight stays the
+    ordinary (k, k, I, O) tensor, so checkpoints are interchangeable with
+    the unfused path.
+    """
 
     features: int
     kernel: int = 3
@@ -61,6 +69,8 @@ class EqualConv(nn.Module):
     lr_mult: float = 1.0
     use_bias: bool = True
     padding: str | int = "SAME"
+    up2: str | None = None             # None | 'nearest' | 'blur'
+    up2_form: str = "dilated"          # 'dilated' | 'poly' | 'hybrid'
 
     @nn.compact
     def __call__(self, x):
@@ -69,6 +79,14 @@ class EqualConv(nn.Module):
         b = None
         if self.use_bias:
             b = self.param("b", nn.initializers.zeros, (self.features,))
+        if self.up2 is not None:
+            assert self.stride == 1 and self.padding == "SAME", self
+            return eq.equalized_conv2d_up2(
+                x, w.astype(x.dtype),
+                None if b is None else b.astype(x.dtype),
+                taps=None if self.up2 == "nearest" else (1.0, 2.0, 1.0),
+                form=self.up2_form,
+                gain=self.gain, lr_mult=self.lr_mult)
         return eq.equalized_conv2d(x, w.astype(x.dtype),
                                    None if b is None else b.astype(x.dtype),
                                    stride=self.stride, padding=self.padding,

@@ -55,11 +55,23 @@ class GBlock(nn.Module):
 
     features: int
     blur: bool = False
+    # Fuse the upsample into conv0 (exact; see layers.EqualConv.up2):
+    # True = lhs-dilated form, "poly"/"hybrid" = alternate forms,
+    # False = two-op (measured fastest on v5e — config.ModelConfig).
+    fused_up: bool | str = False
 
     @nn.compact
     def __call__(self, x):
-        x = upsample_blur_2x(x) if self.blur else upsample_nearest_2x(x)
-        x = EqualConv(self.features, 3, name="conv0")(x)
+        if self.fused_up:
+            form = self.fused_up if isinstance(self.fused_up, str) \
+                else "dilated"
+            x = EqualConv(self.features, 3,
+                          up2="blur" if self.blur else "nearest",
+                          up2_form=form,
+                          name="conv0")(x)
+        else:
+            x = upsample_blur_2x(x) if self.blur else upsample_nearest_2x(x)
+            x = EqualConv(self.features, 3, name="conv0")(x)
         x = pixel_norm(leaky_relu(x))
         x = EqualConv(self.features, 3, name="conv1")(x)
         x = pixel_norm(leaky_relu(x))
@@ -134,6 +146,7 @@ class ProGenerator(nn.Module):
         self.input_block = GInputBlock(cfg.nf(1), name="block4")
         self.blocks = tuple(
             block_cls(cfg.nf(stage - 1), blur=self.blur,
+                      fused_up=cfg.fused_up_conv,
                       name=f"block{2 ** stage}")
             for stage in range(3, max_lg + 1))
         self.torgb = tuple(

@@ -91,11 +91,23 @@ class SynthesisBlock(nn.Module):
 
     features: int
     blur: bool = True
+    # Fuse the upsample into conv0 (exact; see layers.EqualConv.up2):
+    # True = lhs-dilated form, "poly"/"hybrid" = alternate forms,
+    # False = two-op (measured fastest on v5e — config.ModelConfig).
+    fused_up: bool | str = False
 
     @nn.compact
     def __call__(self, x, w_a, w_b):
-        x = upsample_blur_2x(x) if self.blur else upsample_nearest_2x(x)
-        x = EqualConv(self.features, 3, use_bias=False, name="conv0")(x)
+        if self.fused_up:
+            form = self.fused_up if isinstance(self.fused_up, str) \
+                else "dilated"
+            x = EqualConv(self.features, 3, use_bias=False,
+                          up2="blur" if self.blur else "nearest",
+                          up2_form=form,
+                          name="conv0")(x)
+        else:
+            x = upsample_blur_2x(x) if self.blur else upsample_nearest_2x(x)
+            x = EqualConv(self.features, 3, use_bias=False, name="conv0")(x)
         x = StyleLayer(self.features, name="style0")(x, w_a)
         x = EqualConv(self.features, 3, use_bias=False, name="conv1")(x)
         x = StyleLayer(self.features, name="style1")(x, w_b)
@@ -121,6 +133,7 @@ class SynthesisNetwork(nn.Module):
         block_cls = nn.remat(SynthesisBlock) if cfg.remat else SynthesisBlock
         self.blocks = tuple(
             block_cls(cfg.nf(lg - 1), blur=self.blur,
+                      fused_up=cfg.fused_up_conv,
                       name=f"block{2 ** lg}")
             for lg in range(3, max_lg + 1))
         self.torgb = tuple(

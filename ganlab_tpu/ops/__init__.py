@@ -34,6 +34,8 @@ from ganlab_tpu.ops.upfirdn import (
     downsample_avg_2x,
     upsample_blur_2x,
     blur_downsample_2x,
+    up2_conv2d,
+    compose_up2_kernel,
 )
 from ganlab_tpu.ops.fadein import fade_in
 from ganlab_tpu.ops import losses

@@ -87,6 +87,38 @@ def equalized_conv2d(
     return y
 
 
+def equalized_conv2d_up2(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    taps=(1.0, 2.0, 1.0),
+    form: str = "dilated",
+    gain: float = math.sqrt(2.0),
+    lr_mult: float = 1.0,
+) -> jax.Array:
+    """Fused ``equalized_conv2d(upsample[_blur]_2x(x), w)`` in one conv.
+
+    The He constant is computed from the ORIGINAL (kh, kw, in_ch) fan-in —
+    the fusion is a pure evaluation-order change, not a semantics change
+    (parity-tested against the two-op form). ``taps=None`` = nearest-up
+    (ProGAN G); default taps = nearest-up + FIR blur (StyleGAN G).
+    ``form``: 'dilated' | 'poly' | 'hybrid' (fused fwd, two-op bwd).
+    """
+    from ganlab_tpu.ops.upfirdn import up2_conv2d, up2_conv2d_hybrid
+
+    kh, kw, in_ch, _ = w.shape
+    scale = he_constant(kh * kw * in_ch, gain) * lr_mult
+    ws = w * jnp.asarray(scale, w.dtype)
+    if form == "hybrid" and taps is not None:
+        y = up2_conv2d_hybrid(x, ws)
+    else:
+        y = up2_conv2d(x, ws, taps=taps, polyphase=form == "poly")
+    if b is not None:
+        y = y + (b * jnp.asarray(lr_mult, b.dtype)).astype(y.dtype)
+    return y
+
+
 def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:
     """LeakyReLU(0.2), the activation used throughout ProGAN/StyleGAN."""
     return jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))

@@ -56,6 +56,29 @@ class TestShapesAcrossPhases:
         assert "torgb4" in pg and "fromrgb4" in pd and "block4_out" in pd
 
 
+class TestFusedUpConv:
+    """model.fused_up_conv changes evaluation order only: same param
+    pytree, same outputs (fade-in phases included), for both G families."""
+
+    @pytest.mark.parametrize("model", ["progan", "stylegan"])
+    def test_generator_matches_unfused(self, model):
+        kw = dict(model=model, resolution=32, latent_dim=16,
+                  fmap_base=128, fmap_max=16, mapping_layers=2)
+        g_fused, _ = build_models(ModelConfig(fused_up_conv=True, **kw))
+        g_plain, _ = build_models(ModelConfig(fused_up_conv=False, **kw))
+        params = g_plain.init_all(jax.random.PRNGKey(0))
+        assert jax.tree.structure(params) == jax.tree.structure(
+            g_fused.init_all(jax.random.PRNGKey(0)))
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+        for lg, alpha in [(3, 0.4), (5, 1.0)]:
+            kwargs = {"rngs": {"noise": jax.random.PRNGKey(2)}} \
+                if model == "stylegan" else {}
+            a = g_plain.apply(params, z, res_log2=lg, alpha=alpha, **kwargs)
+            b = g_fused.apply(params, z, res_log2=lg, alpha=alpha, **kwargs)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+
 class TestParamCounts:
     def test_stylegan_256_flagship_scale(self):
         """The flagship 256^2 StyleGAN pair lands at the expected scale

@@ -184,6 +184,61 @@ class TestUpfirdn:
                                    rtol=1e-5, atol=1e-5)
 
 
+class TestUp2Conv:
+    """The composed upsample+conv equals the two-op form EXACTLY (incl.
+    the boundary ring, where the two-op form zero-pads the intermediate)."""
+
+    @pytest.mark.parametrize("taps", [(1.0, 2.0, 1.0), None])
+    @pytest.mark.parametrize("polyphase", [False, True])
+    def test_forward_matches_two_op(self, taps, polyphase):
+        from jax import lax
+        from ganlab_tpu.ops.upfirdn import CONV_DIMS
+
+        x = jnp.array(rand(2, 7, 5, 4))
+        w = jnp.array(rand(3, 3, 4, 6))
+        up = (ops.upsample_nearest_2x if taps is None
+              else ops.upsample_blur_2x)
+        ref = lax.conv_general_dilated(up(x), w, (1, 1), "SAME",
+                                       dimension_numbers=CONV_DIMS)
+        got = ops.up2_conv2d(x, w, taps=taps, polyphase=polyphase)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("taps", [(1.0, 2.0, 1.0), None])
+    def test_gradients_match_two_op(self, taps):
+        from jax import lax
+        from ganlab_tpu.ops.upfirdn import CONV_DIMS
+
+        x = jnp.array(rand(2, 6, 6, 3))
+        w = jnp.array(rand(3, 3, 3, 5))
+        up = (ops.upsample_nearest_2x if taps is None
+              else ops.upsample_blur_2x)
+
+        def loss_ref(x, w):
+            y = lax.conv_general_dilated(up(x), w, (1, 1), "SAME",
+                                         dimension_numbers=CONV_DIMS)
+            return jnp.sum(jnp.tanh(y))
+
+        def loss_fused(x, w):
+            return jnp.sum(jnp.tanh(ops.up2_conv2d(x, w, taps=taps)))
+
+        for a, b in zip(jax.grad(loss_fused, (0, 1))(x, w),
+                        jax.grad(loss_ref, (0, 1))(x, w)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-5, atol=3e-5)
+
+    def test_equalized_wrapper_matches_two_op(self):
+        from ganlab_tpu.ops import equalized as eq
+
+        x = jnp.array(rand(2, 8, 8, 4))
+        w = jnp.array(rand(3, 3, 4, 6))
+        b = jnp.array(rand(6))
+        ref = eq.equalized_conv2d(ops.upsample_blur_2x(x), w, b)
+        got = eq.equalized_conv2d_up2(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
 class TestFadeIn:
     def test_endpoints_and_midpoint(self):
         old, new = jnp.zeros((2, 4, 4, 3)), jnp.ones((2, 4, 4, 3))
