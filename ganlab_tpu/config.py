@@ -74,10 +74,26 @@ class ModelConfig:
     # re-measurement on other TPU generations.
     fused_up_conv: bool | str = False
 
+    # Evaluate low-channel high-res blocks width-folded (W pairs -> channel
+    # phases, ops/folded.py): exact math, fills the TPU's 128-lane tiles.
+    # MEASURED NET-NEGATIVE at the judged recipe (108 vs 178 img/s): the
+    # exact folded conv needs a cell-straddling kernel whose 2x MACs cancel
+    # the 2x lane-rate gain, and the folded resamples/epilogues add
+    # elementwise+relayout passes (profile in BASELINE.md). Default OFF;
+    # kept selectable + parity-tested for other TPU generations.
+    fold_width: bool = False
+    # Fold blocks whose feature count is <= this (128 lanes / FOLD=2).
+    fold_max_channels: int = 64
+
     def nf(self, stage: int) -> int:
         """Feature-map count at resolution 2**stage (ProGAN channel rule)."""
         return int(min(max(self.fmap_base // (2 ** stage), self.fmap_min),
                        self.fmap_max))
+
+    def fold_block(self, res_log2: int) -> bool:
+        """Width-fold the block at this resolution? (See fold_width.)"""
+        return bool(self.fold_width
+                    and self.nf(res_log2 - 1) <= self.fold_max_channels)
 
     @property
     def res_log2(self) -> int:

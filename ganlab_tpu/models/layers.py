@@ -71,14 +71,27 @@ class EqualConv(nn.Module):
     padding: str | int = "SAME"
     up2: str | None = None             # None | 'nearest' | 'blur'
     up2_form: str = "dilated"          # 'dilated' | 'poly' | 'hybrid'
+    fold: bool = False                 # x is width-folded (ops/folded.py)
 
     @nn.compact
     def __call__(self, x):
+        in_ch = x.shape[-1]
+        if self.fold:
+            from ganlab_tpu.ops import folded as fd
+
+            in_ch = in_ch // fd.FOLD
         w = self.param("w", _scaled_normal(self.lr_mult),
-                       (self.kernel, self.kernel, x.shape[-1], self.features))
+                       (self.kernel, self.kernel, in_ch, self.features))
         b = None
         if self.use_bias:
             b = self.param("b", nn.initializers.zeros, (self.features,))
+        if self.fold:
+            assert self.stride == 1 and self.padding == "SAME" \
+                and self.up2 is None, self
+            return eq.equalized_conv2d_folded(
+                x, w.astype(x.dtype),
+                None if b is None else b.astype(x.dtype),
+                gain=self.gain, lr_mult=self.lr_mult)
         if self.up2 is not None:
             assert self.stride == 1 and self.padding == "SAME", self
             return eq.equalized_conv2d_up2(
@@ -101,8 +114,19 @@ class NoiseInjection(nn.Module):
     provided RNG (or an explicit noise input for deterministic sampling).
     """
 
+    fold: bool = False                 # x is width-folded (ops/folded.py)
+
     @nn.compact
     def __call__(self, x, noise=None, *, rng=None):
+        if self.fold:
+            from ganlab_tpu.ops import folded as fd
+
+            scale = self.param("scale", nn.initializers.zeros,
+                               (x.shape[-1] // fd.FOLD,))
+            assert noise is None, "explicit noise unsupported when folded"
+            if rng is None:
+                rng = self.make_rng("noise")
+            return fd.noise_folded(x, scale, rng)
         scale = self.param("scale", nn.initializers.zeros, (x.shape[-1],))
         if noise is None:
             if rng is None:

@@ -59,9 +59,19 @@ class GBlock(nn.Module):
     # True = lhs-dilated form, "poly"/"hybrid" = alternate forms,
     # False = two-op (measured fastest on v5e — config.ModelConfig).
     fused_up: bool | str = False
+    fold: bool = False   # width-folded evaluation (ops/folded.py; exact)
 
     @nn.compact
     def __call__(self, x):
+        if self.fold:
+            from ganlab_tpu.ops import folded as fd
+
+            x = fd.upsample_blur_2x_folded(x, blur=self.blur)
+            x = EqualConv(self.features, 3, fold=True, name="conv0")(x)
+            x = fd.pixel_norm_folded(fd.leaky_relu_folded(x))
+            x = EqualConv(self.features, 3, fold=True, name="conv1")(x)
+            x = fd.pixel_norm_folded(fd.leaky_relu_folded(x))
+            return fd.unfold_w(x)
         if self.fused_up:
             form = self.fused_up if isinstance(self.fused_up, str) \
                 else "dilated"
@@ -96,14 +106,29 @@ class GInputBlock(nn.Module):
 
 
 class DBlock(nn.Module):
-    """One discriminator block: 2x (conv3x3 + lrelu) -> downsample."""
+    """One discriminator block: 2x (conv3x3 + lrelu) -> downsample.
+
+    ``fold``: evaluate width-folded (ops/folded.py; exact) — the fold is a
+    reshape on entry, and the 2x downsample lands back on the unfolded
+    width, so the output is unfolded either way.
+    """
 
     features_in: int
     features_out: int
     blur: bool = False
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.fold:
+            from ganlab_tpu.ops import folded as fd
+
+            x = fd.fold_w(x)
+            x = fd.leaky_relu_folded(
+                EqualConv(self.features_in, 3, fold=True, name="conv0")(x))
+            x = fd.leaky_relu_folded(
+                EqualConv(self.features_out, 3, fold=True, name="conv1")(x))
+            return fd.blur_downsample_2x_folded(x, blur=self.blur)
         x = leaky_relu(EqualConv(self.features_in, 3, name="conv0")(x))
         x = leaky_relu(EqualConv(self.features_out, 3, name="conv1")(x))
         x = blur_downsample_2x(x) if self.blur else downsample_avg_2x(x)
@@ -147,6 +172,7 @@ class ProGenerator(nn.Module):
         self.blocks = tuple(
             block_cls(cfg.nf(stage - 1), blur=self.blur,
                       fused_up=cfg.fused_up_conv,
+                      fold=cfg.fold_block(stage),
                       name=f"block{2 ** stage}")
             for stage in range(3, max_lg + 1))
         self.torgb = tuple(
@@ -205,7 +231,9 @@ class ProDiscriminator(nn.Module):
             for lg in range(2, max_lg + 1))
         self.blocks = tuple(
             block_cls(cfg.nf(lg - 1), cfg.nf(lg - 2),
-                      blur=self.blur_resample, name=f"block{2 ** lg}")
+                      blur=self.blur_resample,
+                      fold=cfg.fold_block(lg),
+                      name=f"block{2 ** lg}")
             for lg in range(3, max_lg + 1))
         self.out_block = DOutputBlock(cfg.nf(1), cfg.mbstd_group_size,
                                       name="block4_out")

@@ -68,17 +68,25 @@ class StyleLayer(nn.Module):
 
     The conv (if any) is applied by the caller without bias; the bias lives
     here so XLA fuses noise-add + bias + lrelu + instance-norm + style affine
-    into one elementwise epilogue on the conv output.
+    into one elementwise epilogue on the conv output. With ``fold`` the
+    whole epilogue runs on the width-folded representation (ops/folded.py)
+    — same parameters, exact same math.
     """
 
     channels: int
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, w, noise=None):
-        x = NoiseInjection(name="noise")(x, noise=noise)
+        x = NoiseInjection(name="noise", fold=self.fold)(x, noise=noise)
         b = self.param("bias", nn.initializers.zeros, (self.channels,))
-        x = leaky_relu(x + b.astype(x.dtype))
         ys, yb = StyleAffine(self.channels, name="style")(w)
+        if self.fold:
+            from ganlab_tpu.ops import folded as fd
+
+            x = leaky_relu(fd.bias_folded(x, b))
+            return fd.adain_folded(x, ys, yb)
+        x = leaky_relu(x + b.astype(x.dtype))
         return adain(x, ys.astype(x.dtype), yb.astype(x.dtype))
 
 
@@ -87,6 +95,11 @@ class SynthesisBlock(nn.Module):
 
     A standalone module so ``model.remat`` can rematerialize whole blocks
     in the backward pass (1024^2 HBM fit, SURVEY.md 7 B:11).
+
+    ``fold``: evaluate the whole block WIDTH-FOLDED (ops/folded.py) —
+    exact same math and parameters, but the low-channel high-res tensors
+    fill the TPU's 128-lane tiles. Input and output stay unfolded
+    (fold/unfold are reshapes).
     """
 
     features: int
@@ -95,9 +108,21 @@ class SynthesisBlock(nn.Module):
     # True = lhs-dilated form, "poly"/"hybrid" = alternate forms,
     # False = two-op (measured fastest on v5e — config.ModelConfig).
     fused_up: bool | str = False
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, w_a, w_b):
+        if self.fold:
+            from ganlab_tpu.ops import folded as fd
+
+            x = fd.upsample_blur_2x_folded(x, blur=self.blur)
+            x = EqualConv(self.features, 3, use_bias=False, fold=True,
+                          name="conv0")(x)
+            x = StyleLayer(self.features, fold=True, name="style0")(x, w_a)
+            x = EqualConv(self.features, 3, use_bias=False, fold=True,
+                          name="conv1")(x)
+            x = StyleLayer(self.features, fold=True, name="style1")(x, w_b)
+            return fd.unfold_w(x)
         if self.fused_up:
             form = self.fused_up if isinstance(self.fused_up, str) \
                 else "dilated"
@@ -134,6 +159,7 @@ class SynthesisNetwork(nn.Module):
         self.blocks = tuple(
             block_cls(cfg.nf(lg - 1), blur=self.blur,
                       fused_up=cfg.fused_up_conv,
+                      fold=cfg.fold_block(lg),
                       name=f"block{2 ** lg}")
             for lg in range(3, max_lg + 1))
         self.torgb = tuple(

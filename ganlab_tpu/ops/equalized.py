@@ -119,6 +119,31 @@ def equalized_conv2d_up2(
     return y
 
 
+def equalized_conv2d_folded(
+    x_f: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    gain: float = math.sqrt(2.0),
+    lr_mult: float = 1.0,
+) -> jax.Array:
+    """Equalized-LR SAME conv evaluated on a WIDTH-FOLDED activation.
+
+    ``w`` is the ordinary logical (kh, kw, in_ch, out_ch) weight — the
+    folded kernel is built at call time (ops/folded.py), so parameters and
+    checkpoints are identical to the unfolded path. The He constant uses
+    the logical fan-in: pure evaluation-order change, parity-tested.
+    """
+    from ganlab_tpu.ops import folded as fd
+
+    kh, kw, in_ch, _ = w.shape
+    scale = he_constant(kh * kw * in_ch, gain) * lr_mult
+    y = fd.conv2d_folded(x_f, (w * jnp.asarray(scale, w.dtype)))
+    if b is not None:
+        y = fd.bias_folded(y, b * jnp.asarray(lr_mult, b.dtype))
+    return y
+
+
 def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:
     """LeakyReLU(0.2), the activation used throughout ProGAN/StyleGAN."""
     return jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))

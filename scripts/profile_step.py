@@ -19,43 +19,58 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def summarize_xplane(logdir: str, top: int = 30):
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+def summarize_xplane(logdir: str, top: int = 30, nsteps: int = 12):
+    """Aggregate the 'XLA Ops' line of the Chrome trace by op and category."""
+    import collections
+    import gzip
+    import re
 
-    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
-        print("no xplane.pb found under", logdir)
+        print("no trace.json.gz found under", logdir)
         return
-    agg = {}
+    with gzip.open(sorted(paths)[-1]) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    pids, tids = {}, {}
+    for e in ev:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                pids[e["pid"]] = e["args"].get("name", "")
+            if e.get("name") == "thread_name":
+                tids[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    xla = {k for k, v in tids.items() if v == "XLA Ops"}
+    rows = collections.defaultdict(lambda: [0, 0, None])
+    cat = collections.Counter()
+    shp = collections.Counter()
     total = 0
-    for path in paths:
-        xs = xplane_pb2.XSpace()
-        with open(path, "rb") as f:
-            xs.ParseFromString(f.read())
-        for plane in xs.planes:
-            name = plane.name.lower()
-            if "tpu" not in name and "device" not in name and \
-                    "xla" not in name:
-                continue
-            ev_names = dict(plane.event_metadata.items())
-            for line in plane.lines:
-                for ev in line.events:
-                    md = ev_names.get(ev.metadata_id)
-                    if md is None:
-                        continue
-                    dur = ev.duration_ps
-                    key = md.name
-                    agg[key] = agg.get(key, 0) + dur
-                    total += dur
-    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
-    print(f"{'self_ms':>10}  {'%':>5}  op")
-    for name, ps in rows:
-        ms = ps / 1e9
-        pct = 100.0 * ps / max(total, 1)
-        print(f"{ms:10.3f}  {pct:5.1f}  {name[:110]}")
-    print(f"total device event time: {total / 1e9:.1f} ms "
-          f"(all planes, {len(paths)} xplane files)")
+    for e in ev:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in xla:
+            continue
+        a = e.get("args") or {}
+        d = e.get("dur", 0)
+        total += d
+        cat[a.get("hlo_category", "?")] += d
+        n = e["name"]
+        rows[n][0] += d
+        rows[n][1] += 1
+        if rows[n][2] is None:
+            rows[n][2] = a.get("long_name", "")
+        m = re.findall(r"\d+,(\d+),\1,(\d+)", rows[n][2] or "")
+        if m:
+            res = max(int(x) for x, _ in m)
+            ch = max(int(y) for x, y in m if int(x) == res)
+            shp[(res, ch)] += d
+    print(f"total XLA-op time {total / 1e3:.1f} ms; "
+          f"{total / 1e3 / nsteps:.2f} ms/step over {nsteps} steps")
+    print("by category (ms/step):")
+    for k, v in cat.most_common(12):
+        print(f"  {v / 1e3 / nsteps:7.2f}  {k}")
+    print("top ops (ms/step, count, operand shapes):")
+    for n, (d, c, ln) in sorted(rows.items(), key=lambda kv: -kv[1][0])[:top]:
+        shapes = re.findall(r"(?:bf16|f32|u8)\[([\d,]+)\]", ln or "")[:4]
+        print(f"  {d / 1e3 / nsteps:6.2f}  {n[:30]:30s} n={c:3d} {shapes}")
 
 
 def main():
