@@ -26,7 +26,6 @@ import time
 
 V100_BASELINE_IMG_PER_SEC = 40.0
 BATCH_PER_DEVICE = 16        # fused-step sweet spot (BASELINE.md sweep)
-WARMUP_STEPS = 3
 TIMED_STEPS = 32             # 2 full lazy-R1 intervals (k=16)
 
 
@@ -79,10 +78,14 @@ def main() -> None:
     from ganlab_tpu.config import get_config
     from ganlab_tpu.train.schedule import build_phases
     from ganlab_tpu.train.state import create_train_state
-    from ganlab_tpu.train.steps import make_lazy_stepper
+    from ganlab_tpu.train.steps import make_chunked_stepper
     from ganlab_tpu.parallel import make_single_step
 
-    # The preset's recommended recipe: lazy R1 (penalty_every=8), bf16.
+    # The preset's recommended recipe: lazy R1, fused G/D, bf16, and
+    # scan-chunked stepping (run.chunk_steps): per lazy-R1 cycle the host
+    # dispatches ONE penalty-on step + ONE scanned off-run instead of k
+    # programs (~11 ms/step of host gap on the tunneled platform —
+    # BASELINE.md; chunked measured ~15% faster in degraded-relay A/Bs).
     cfg = get_config("stylegan-256", **{
         "schedule.batch_schedule": {256: BATCH_PER_DEVICE},
         "schedule.progressive": False,
@@ -93,19 +96,20 @@ def main() -> None:
     note(f"devices: {jax.devices()}")
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     note("state initialized")
-    step = make_lazy_stepper(cfg, phase, make_single_step)
+    stepper, k = make_chunked_stepper(cfg, phase, make_single_step,
+                                      make_single_step)
+    assert TIMED_STEPS % k == 0, (TIMED_STEPS, k)
 
     rng = np.random.RandomState(0)
-    batches = [rng.randint(0, 256, (BATCH_PER_DEVICE, 256, 256, 3),
-                           dtype=np.uint8) for _ in range(4)]
+    stacks = [rng.randint(0, 256, (k, BATCH_PER_DEVICE, 256, 256, 3),
+                          dtype=np.uint8) for _ in range(2)]
 
     # NOTE: on this container's tunneled TPU platform block_until_ready
     # returns before execution finishes; a host fetch of a scalar is the
     # only reliable barrier. The state threads through every step, so
     # fetching the last step's metric forces the whole chain.
-    for i in range(WARMUP_STEPS):
-        state, metrics = step(state, batches[i % len(batches)])
-    float(np.asarray(metrics["d_loss"]))
+    state, metrics = stepper(state, stacks[0])
+    float(np.asarray(metrics["d_loss"][-1]))
     note("warmup done (compiled)")
 
     # Median of 5 windows with the spread reported: the tunneled platform
@@ -116,9 +120,9 @@ def main() -> None:
     windows = []
     for _ in range(5):
         t0 = time.perf_counter()
-        for i in range(TIMED_STEPS):
-            state, metrics = step(state, batches[i % len(batches)])
-        float(np.asarray(metrics["d_loss"]))
+        for i in range(TIMED_STEPS // k):
+            state, metrics = stepper(state, stacks[i % len(stacks)])
+        float(np.asarray(metrics["d_loss"][-1]))
         dt = time.perf_counter() - t0
         windows.append(TIMED_STEPS * BATCH_PER_DEVICE / dt / n_chips)
     imgs_per_sec_chip = float(np.median(windows))

@@ -205,6 +205,12 @@ class RunConfig:
     keep_checkpoints: int = 3
     num_sample_images: int = 16
     profile: bool = False              # jax.profiler trace around a few steps
+    # Scan-chunked stepping: compile the lazy-regularization off-run as ONE
+    # lax.scan program, so each penalty_every-cycle costs 2 host dispatches
+    # instead of k (the tunneled platform pays ~11 ms/step of host gap —
+    # BASELINE.md). Identical per-step math (tests/test_chunked.py);
+    # logging/sample/checkpoint cadences quantize to the cycle length.
+    chunk_steps: bool = True
     compute_dtype: str = "bfloat16"    # conv/matmul activation dtype on TPU
     data_axis: str = "data"            # mesh axis name for DP
     use_pallas: bool = False           # hand-written kernels for the hot ops

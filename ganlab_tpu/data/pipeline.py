@@ -223,11 +223,13 @@ class Prefetcher:
     """
 
     def __init__(self, source, batch_size: int, res: int,
-                 place: Callable | None = None, depth: int = 2):
+                 place: Callable | None = None, depth: int = 2,
+                 chunk: int = 1):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._error: BaseException | None = None
         self._place = place or (lambda x: x)
+        self._chunk = chunk
         self._thread = threading.Thread(
             target=self._worker, args=(source, batch_size, res), daemon=True)
         self._thread.start()
@@ -235,7 +237,15 @@ class Prefetcher:
     def _worker(self, source, batch_size, res):
         try:
             while not self._stop.is_set():
-                batch = self._place(source.batch(batch_size, res))
+                if self._chunk > 1:
+                    # Stack a whole scan-chunk on host before placement so
+                    # the device sees ONE (chunk, B, H, W, C) transfer
+                    # (train/steps.py::make_chunked_stepper).
+                    raw = np.stack([source.batch(batch_size, res)
+                                    for _ in range(self._chunk)])
+                else:
+                    raw = source.batch(batch_size, res)
+                batch = self._place(raw)
                 while not self._stop.is_set():
                     try:
                         self._q.put(batch, timeout=0.1)

@@ -11,7 +11,9 @@ is the XLA runtime (SURVEY.md 5).
 from ganlab_tpu.parallel.mesh import (
     make_mesh,
     make_parallel_step,
+    make_parallel_chunk,
     make_single_step,
+    shard_stack,
     shard_batch,
     replicate,
     initialize_distributed,

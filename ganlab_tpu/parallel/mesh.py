@@ -90,6 +90,32 @@ def make_parallel_step(step: Callable, mesh: Mesh,
     return jax.jit(mapped, donate_argnums=(0,))
 
 
+def shard_stack(stack, mesh: Mesh, axis: str = "data"):
+    """Place a (n_steps, B, H, W, C) scan-stack sharded on its BATCH dim.
+
+    The per-host / multi-host contract matches ``shard_batch`` (each host
+    supplies its local rows of dim 1)."""
+    sharding = NamedSharding(mesh, P(None, axis))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, stack)
+    return jax.device_put(stack, sharding)
+
+
+def make_parallel_chunk(chunk_fn: Callable, mesh: Mesh,
+                        axis: str = "data") -> Callable:
+    """shard_map + jit a scan-of-steps program (train/steps.py::
+    make_chunked_stepper): the stacked batch (n_steps, B, H, W, C) is
+    sharded on its BATCH dim (axis 1), the scan dim stays unsharded."""
+    mapped = jax.shard_map(
+        chunk_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 def make_single_step(step: Callable) -> Callable:
     """jit for the no-mesh (single device) path."""
     return jax.jit(step, donate_argnums=(0,))

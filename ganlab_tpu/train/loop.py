@@ -19,10 +19,12 @@ from ganlab_tpu.config import Config
 from ganlab_tpu.data import Prefetcher, make_source
 from ganlab_tpu.parallel import (
     make_mesh,
+    make_parallel_chunk,
     make_parallel_step,
     make_single_step,
     replicate,
     shard_batch,
+    shard_stack,
 )
 from ganlab_tpu.train.checkpoint import CheckpointManager
 from ganlab_tpu.train.schedule import build_phases, phase_at
@@ -30,6 +32,7 @@ from ganlab_tpu.train.state import create_train_state
 from ganlab_tpu.train.steps import (
     build_sample_fn,
     build_train_step,
+    make_chunked_stepper,
     make_lazy_stepper,
 )
 from ganlab_tpu.utils import MetricLogger, gen_latents, save_image_grid
@@ -88,17 +91,33 @@ class Trainer:
         return self._source
 
     # ------------------------------------------------------------------
+    @property
+    def chunking(self) -> bool:
+        """Scan-chunked stepping active? (run.chunk_steps + lazy reg.)"""
+        return bool(self.cfg.run.chunk_steps
+                    and self.cfg.loss.penalty_every > 1
+                    and self.cfg.loss.penalty in ("wgan-gp", "r1"))
+
     def _step_fn(self, phase) -> Callable:
         key = (phase.res_log2, phase.kind, phase.start_img, phase.end_img)
         if key not in self._steps:
             axis = self.cfg.run.data_axis if self.mesh is not None else None
             if self.mesh is not None:
                 wrap = lambda s: make_parallel_step(s, self.mesh)  # noqa: E731
+                wrap_c = lambda s: make_parallel_chunk(s, self.mesh)  # noqa: E731
             else:
                 wrap = make_single_step
-            self._steps[key] = make_lazy_stepper(
-                self.cfg, phase, wrap, axis_name=axis,
-                initial_step=int(jax.device_get(self.state.step)))
+                wrap_c = make_single_step
+            initial = int(jax.device_get(self.state.step))
+            if self.chunking:
+                stepper, _ = make_chunked_stepper(
+                    self.cfg, phase, wrap, wrap_c, axis_name=axis,
+                    initial_step=initial)
+                self._steps[key] = stepper
+            else:
+                self._steps[key] = make_lazy_stepper(
+                    self.cfg, phase, wrap, axis_name=axis,
+                    initial_step=initial)
         return self._steps[key]
 
     def _sampler(self, res_log2: int) -> Callable:
@@ -113,6 +132,11 @@ class Trainer:
         if self.mesh is not None:
             return shard_batch(batch, self.mesh)
         return jax.device_put(batch, jax.devices()[0])
+
+    def _place_stack(self, stack):
+        if self.mesh is not None:
+            return shard_stack(stack, self.mesh)
+        return jax.device_put(stack, jax.devices()[0])
 
     # ------------------------------------------------------------------
     def train(self, max_steps: int | None = None) -> dict:
@@ -144,37 +168,60 @@ class Trainer:
                   f"[{phase.start_img}, {phase.end_img}) batch/device "
                   f"{phase.batch_size} x {self.n_dev} devices", flush=True)
 
+            chunk = cfg.loss.penalty_every if self.chunking else 1
+            place = self._place_stack if chunk > 1 else self._place
             with Prefetcher(self.source, feed_batch, phase.resolution,
-                            place=self._place,
-                            depth=cfg.data.prefetch) as pf:
+                            place=place, depth=cfg.data.prefetch,
+                            chunk=chunk) as pf:
                 while shown < phase.end_img:
                     if max_steps is not None and steps_done >= max_steps:
                         self._finish()
                         return metrics
                     # Flag-gated profiling (SURVEY.md 5): trace steps 10-20
                     # of the run into <workdir>/profile for xprof/tensorboard.
-                    if run.profile and steps_done == 10:
+                    if run.profile and steps_done >= 10 and steps_done < 20 \
+                            and not getattr(self, "_trace_active", False):
                         jax.profiler.start_trace(
                             os.path.join(self.workdir, "profile"))
                         self._trace_active = True
-                    self.state, metrics = step_fn(self.state, pf.next())
-                    steps_done += 1
-                    shown += global_batch
-                    if run.profile and steps_done == 20:
+                    if chunk > 1:
+                        # Scan-chunked: one penalty-on dispatch + one
+                        # scanned off-run per cycle; bounded by the phase
+                        # end and max_steps (single-step fallback inside
+                        # the stepper for partial tails).
+                        n = int(min(
+                            chunk,
+                            -(-(phase.end_img - shown) // global_batch)))
+                        if max_steps is not None:
+                            n = min(n, max_steps - steps_done)
+                        stack = pf.next()
+                        self.state, mstack = step_fn(self.state, stack[:n])
+                        metrics = jax.tree.map(lambda x: x[-1], mstack)
+                        steps_done += n
+                        shown += n * global_batch
+                    else:
+                        n = 1
+                        self.state, metrics = step_fn(self.state, pf.next())
+                        steps_done += 1
+                        shown += global_batch
+                    if run.profile and steps_done >= 20:
                         self._stop_trace(metrics)
 
                     step_i = steps_done
-                    if step_i % run.log_every == 0:
+
+                    def crossed(every):
+                        return every and \
+                            step_i // every != (step_i - n) // every
+                    if crossed(run.log_every):
                         m = {k: float(jax.device_get(v))
                              for k, v in metrics.items()}
                         m.update(res=phase.resolution, kind=phase.kind,
                                  shown_imgs=shown)
                         self.logger.log(step_i, m)
-                    if run.sample_every and step_i % run.sample_every == 0:
+                    if crossed(run.sample_every):
                         self.save_samples(phase.res_log2,
                                           tag=f"step{step_i:08d}")
-                    if run.checkpoint_every and \
-                            step_i % run.checkpoint_every == 0:
+                    if crossed(run.checkpoint_every):
                         self.save_checkpoint()
         self._finish()
         return metrics

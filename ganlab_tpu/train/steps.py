@@ -391,6 +391,73 @@ def build_sample_fn(cfg: Config, res_log2: int,
     return sample
 
 
+def make_chunked_stepper(cfg: Config, phase: PhaseSpec,
+                         wrap: Callable[[Callable], Callable],
+                         wrap_chunk: Callable[[Callable], Callable],
+                         axis_name: str | None = None,
+                         initial_step: int = 0,
+                         fold_device_rng: bool = True):
+    """Scan-chunked lazy-regularization stepper: 2 dispatches per k steps.
+
+    On the tunneled TPU platform every host->device dispatch costs ~1 ms+
+    and the step loop measures ~11 ms/step of host gap (BASELINE.md
+    round-2 profile: 79 ms device vs 90 ms wall). With lazy regularization
+    (``loss.penalty_every`` = k > 1) the step sequence is periodic
+    [on, off x (k-1)], so the off-run is compiled ONCE as a
+    ``lax.scan`` over a (k-1)-stacked uint8 batch: per k steps the host
+    dispatches one penalty-on step and one scanned program instead of k
+    programs. Per-step math is IDENTICAL to the single-step path — the
+    scan body is the same step function, the RNG chain threads through
+    state — tested equal in tests/test_chunked.py.
+
+    Returns ``(stepper, chunk)``: ``stepper(state, stack)`` consumes a
+    (chunk, B, H, W, C) uint8 stack and returns ``(state, metrics)`` with
+    each metric stacked (chunk,) in step order. Misaligned cycles (resume
+    mid-cycle) and partial tails fall back to slicing the stack through
+    the single-step programs.
+    """
+    k = cfg.loss.penalty_every
+    has_penalty = cfg.loss.penalty in ("wgan-gp", "r1")
+    assert has_penalty and k > 1, "chunking requires lazy regularization"
+
+    step_on_fn = build_train_step(cfg, phase, axis_name=axis_name,
+                                  fold_device_rng=fold_device_rng,
+                                  penalty_override=True)
+    step_off_fn = build_train_step(cfg, phase, axis_name=axis_name,
+                                   fold_device_rng=fold_device_rng,
+                                   penalty_override=False)
+    step_on = wrap(step_on_fn)
+    step_off = wrap(step_off_fn)
+
+    def scan_off(state, stack):
+        return lax.scan(step_off_fn, state, stack)
+
+    chunk_off = wrap_chunk(scan_off)
+    counter = {"i": int(initial_step)}
+
+    def stepper(state, stack):
+        n = stack.shape[0]
+        aligned = (counter["i"] % k) == 0
+        if aligned and n == k:
+            state, m_on = step_on(state, stack[0])
+            state, m_off = chunk_off(state, stack[1:])
+            counter["i"] += k
+            metrics = jax.tree.map(
+                lambda a, b: jnp.concatenate([a[None], b]), m_on, m_off)
+            return state, metrics
+        # Fallback: resume mid-cycle or a partial tail — single steps.
+        ms = []
+        for i in range(n):
+            use_pen = (counter["i"] % k) == 0
+            counter["i"] += 1
+            state, m = (step_on if use_pen else step_off)(state, stack[i])
+            ms.append(m)
+        metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *ms)
+        return state, metrics
+
+    return stepper, k
+
+
 def make_lazy_stepper(cfg: Config, phase: PhaseSpec,
                       wrap: Callable[[Callable], Callable],
                       axis_name: str | None = None,

@@ -1,0 +1,191 @@
+"""Scan-chunked stepping (train/steps.py::make_chunked_stepper): identical
+per-step math to the single-step lazy dispatcher, on one device and under
+shard_map DP; Trainer integration smoke."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ganlab_tpu.config import get_config
+from ganlab_tpu.parallel import (
+    make_mesh,
+    make_parallel_chunk,
+    make_parallel_step,
+    make_single_step,
+    replicate,
+    shard_batch,
+    shard_stack,
+)
+from ganlab_tpu.train.schedule import build_phases
+from ganlab_tpu.train.state import create_train_state
+from ganlab_tpu.train.steps import make_chunked_stepper, make_lazy_stepper
+
+
+K = 4  # lazy-regularization interval for these tests
+
+
+def tiny_cfg(**over):
+    base = {
+        "model.model": "stylegan",
+        "model.resolution": 16,
+        "model.latent_dim": 8,
+        "model.fmap_base": 64,
+        "model.fmap_max": 8,
+        "model.mapping_layers": 2,
+        "schedule.progressive": False,
+        "loss.penalty_every": K,
+        "loss.fused_g_step": True,
+        "run.compute_dtype": "float32",
+    }
+    base.update(over)
+    cfg = get_config("stylegan-256", **base)
+    return cfg.replace(schedule=cfg.schedule.__class__(
+        progressive=False, batch_schedule={16: 4}))
+
+
+def batches(n, batch=4, res=16, seed=0):
+    rng = np.random.RandomState(seed)
+    return np.stack([rng.randint(0, 256, (batch, res, res, 3), np.uint8)
+                     for _ in range(n)])
+
+
+def run_singles(cfg, stack, initial_step=0):
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_lazy_stepper(cfg, phase, make_single_step,
+                             initial_step=initial_step)
+    ms = []
+    for i in range(stack.shape[0]):
+        state, m = step(state, jnp.asarray(stack[i]))
+        ms.append(m)
+    return state, ms
+
+
+def run_chunked(cfg, stack, initial_step=0, pieces=None):
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    stepper, chunk = make_chunked_stepper(
+        cfg, phase, make_single_step, make_single_step,
+        initial_step=initial_step)
+    assert chunk == K
+    ms = []
+    start = 0
+    for n in pieces or [stack.shape[0]]:
+        state, m = stepper(state, jnp.asarray(stack[start:start + n]))
+        ms.append(m)
+        start += n
+    return state, ms
+
+
+def assert_states_equal(a, b, mean_tol=1e-4, max_tol=2.5e-2,
+                        skip_counters=False):
+    """PARAMETER equality up to XLA compilation-level float reassociation.
+
+    The scanned program fuses differently from the standalone step, so
+    bitwise equality is impossible, and GAN training is chaotic: Adam's
+    m/rsqrt(v) turns an epsilon drift on a sign-borderline element into a
+    full +-lr step, after which gradients (and the beta1=0 first moment,
+    which IS the raw last gradient) diverge at O(1). Robust check on the
+    param/EMA trees only: mean |diff| tiny (a missed or extra update
+    shifts ~every element by lr=1e-3, 10x this bound) and max bounded.
+    The misaligned-resume test compares the exact-program fallback path
+    with ordinary allclose.
+    """
+    tot, n = 0.0, 0
+    names = ("params_g", "params_d", "params_ema", "w_avg") + \
+        (() if skip_counters else ("shown_imgs", "step"))
+    for name in names:
+        for x, y in zip(jax.tree.leaves(jax.device_get(getattr(a, name))),
+                        jax.tree.leaves(jax.device_get(getattr(b, name)))):
+            d = np.abs(np.asarray(x, np.float64) -
+                       np.asarray(y, np.float64))
+            assert d.max() < max_tol, (name, d.max(), x.shape)
+            tot += d.sum()
+            n += d.size
+    assert tot / n < mean_tol, tot / n
+
+
+class TestChunkedEqualsSingles:
+    def test_aligned_full_cycles(self):
+        cfg = tiny_cfg()
+        data = batches(2 * K)
+        s1, ms1 = run_singles(cfg, data)
+        s2, ms2 = run_chunked(cfg, data, pieces=[K, K])
+        assert_states_equal(s1, s2)
+        # per-step metrics match: chunk metrics are stacked in step order
+        flat2 = []
+        for m in ms2:
+            for i in range(int(np.asarray(m["d_loss"]).shape[0])):
+                flat2.append({k: np.asarray(v)[i] for k, v in m.items()})
+        for a, b in zip(ms1, flat2):
+            for k in ("d_loss", "g_loss", "penalty"):
+                np.testing.assert_allclose(np.asarray(a[k]), b[k],
+                                           rtol=1e-2, atol=2e-3)
+        # the penalty really fires only on the cycle head
+        pen = [abs(float(m["penalty"])) for m in ms1]
+        assert pen[0] > 0 and pen[K] > 0
+        assert all(p == 0 for i, p in enumerate(pen) if i % K not in (0,))
+
+    def test_misaligned_resume_falls_back(self):
+        cfg = tiny_cfg()
+        data = batches(K)
+        s1, _ = run_singles(cfg, data, initial_step=2)
+        s2, _ = run_chunked(cfg, data, initial_step=2, pieces=[K])
+        # Misaligned -> the fallback runs the IDENTICAL single-step
+        # programs, so this path matches to float tolerance.
+        for x, y in zip(jax.tree.leaves(jax.device_get(s1)),
+                        jax.tree.leaves(jax.device_get(s2))):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_partial_tail(self):
+        cfg = tiny_cfg()
+        data = batches(K + 2)
+        s1, _ = run_singles(cfg, data)
+        s2, _ = run_chunked(cfg, data, pieces=[K, 2])
+        assert_states_equal(s1, s2)
+
+
+class TestChunkedDP:
+    def test_dp_chunk_matches_single_device(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 fake devices")
+        cfg = tiny_cfg()
+        phase = build_phases(cfg.schedule, cfg.model)[-1]
+        data = batches(K)
+
+        s_ref, _ = run_chunked(cfg, data, pieces=[K])
+
+        mesh = make_mesh()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        state = replicate(state, mesh)
+        stepper, _ = make_chunked_stepper(
+            cfg, phase,
+            lambda s: make_parallel_step(s, mesh),
+            lambda s: make_parallel_chunk(s, mesh),
+            axis_name="data", fold_device_rng=False)
+        # identical per-device batches -> DP == single-device exactly
+        stack8 = np.concatenate([data] * 8, axis=1)
+        state, m = stepper(state, shard_stack(stack8, mesh))
+        # shown_imgs counts the GLOBAL batch: 8x the single-device run.
+        assert float(jax.device_get(state.shown_imgs)) == \
+            8 * float(jax.device_get(s_ref.shown_imgs))
+        assert_states_equal(jax.device_get(s_ref), jax.device_get(state),
+                            skip_counters=True)
+
+
+class TestTrainerChunked:
+    def test_trainer_runs_chunked(self, tmp_path):
+        from ganlab_tpu.train.loop import Trainer
+
+        cfg = tiny_cfg(**{"data.dataset": "synthetic",
+                          "run.total_steps": 2 * K + 1,
+                          "run.log_every": K,
+                          "run.checkpoint_every": 2 * K,
+                          "run.sample_every": 0})
+        tr = Trainer(cfg, workdir=str(tmp_path), use_mesh=False)
+        assert tr.chunking
+        tr.train()
+        assert int(jax.device_get(tr.state.step)) == 2 * K + 1
+        tr.close()
