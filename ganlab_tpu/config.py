@@ -59,6 +59,10 @@ class ModelConfig:
     w_avg_beta: float = 0.995
     # D-only:
     mbstd_group_size: int | None = None  # None = whole per-device batch
+    # Residual discriminator blocks (StyleGAN2's resnet D): skip = 1x1
+    # conv + blur-down, sum scaled 1/sqrt(2). Extension beyond the
+    # reference; used by the 'stylegan2' model family.
+    d_resnet: bool = False
     # ResNet-GAN only:
     base_channels: int = 128
     # Rematerialize resolution blocks in backward (memory for FLOPs trade;
@@ -285,6 +289,22 @@ def _preset_stylegan256() -> Config:
     )
 
 
+def _preset_stylegan2_256() -> Config:
+    """EXTENSION beyond the reference: StyleGAN2-style 256^2 training.
+
+    Weight demodulation instead of AdaIN, skip-architecture G, residual
+    D, fixed-resolution schedule (no growing), R1 + lazy regularization —
+    on the same trainer/eval stack as the judged configs.
+    """
+    return Config(
+        model=ModelConfig(model="stylegan2", resolution=256, d_resnet=True),
+        loss=LossConfig(loss="nonsaturating", penalty="r1",
+                        penalty_weight=10.0, drift_weight=0.0,
+                        penalty_every=16, fused_g_step=True),
+        schedule=ScheduleConfig(progressive=False),
+    )
+
+
 def _preset_stylegan1024() -> Config:
     """BASELINE.json config 5: StyleGAN 1024^2 FFHQ, pod-slice DP."""
     return Config(
@@ -306,6 +326,7 @@ PRESETS = {
     "progan-128": _preset_progan128,
     "stylegan-256": _preset_stylegan256,
     "stylegan-1024": _preset_stylegan1024,
+    "stylegan2-256": _preset_stylegan2_256,  # extension beyond the reference
 }
 
 

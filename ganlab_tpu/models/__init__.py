@@ -37,6 +37,11 @@ def build_models(model_cfg):
     elif name == "stylegan":
         g = StyleGenerator(cfg=model_cfg)
         d = ProDiscriminator(cfg=model_cfg, blur_resample=True)
+    elif name == "stylegan2":
+        from ganlab_tpu.models.stylegan2 import StyleGAN2Generator
+
+        g = StyleGAN2Generator(cfg=model_cfg)
+        d = ProDiscriminator(cfg=model_cfg, blur_resample=True)
     else:
         raise ValueError(f"unknown model {name!r}")
     return g, d

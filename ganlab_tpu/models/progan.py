@@ -117,9 +117,24 @@ class DBlock(nn.Module):
     features_out: int
     blur: bool = False
     fold: bool = False
+    # Residual variant (StyleGAN2 resnet D, an extension beyond the
+    # reference): skip = 1x1 conv (no bias, gain 1) + downsample; the sum
+    # is scaled by 1/sqrt(2). 1x1-then-downsample commutes exactly with
+    # downsample-then-1x1, matching the official combined layer.
+    resnet: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.resnet:
+            assert not self.fold, "resnet DBlock does not implement fold"
+            skip = EqualConv(self.features_out, 1, use_bias=False,
+                             gain=1.0, name="skip")(x)
+            skip = (blur_downsample_2x(skip) if self.blur
+                    else downsample_avg_2x(skip))
+            y = leaky_relu(EqualConv(self.features_in, 3, name="conv0")(x))
+            y = leaky_relu(EqualConv(self.features_out, 3, name="conv1")(y))
+            y = blur_downsample_2x(y) if self.blur else downsample_avg_2x(y)
+            return (y + skip) * jnp.asarray(0.7071067811865476, y.dtype)
         if self.fold:
             from ganlab_tpu.ops import folded as fd
 
@@ -232,7 +247,8 @@ class ProDiscriminator(nn.Module):
         self.blocks = tuple(
             block_cls(cfg.nf(lg - 1), cfg.nf(lg - 2),
                       blur=self.blur_resample,
-                      fold=cfg.fold_block(lg),
+                      fold=cfg.fold_block(lg) and not cfg.d_resnet,
+                      resnet=cfg.d_resnet,
                       name=f"block{2 ** lg}")
             for lg in range(3, max_lg + 1))
         self.out_block = DOutputBlock(cfg.nf(1), cfg.mbstd_group_size,

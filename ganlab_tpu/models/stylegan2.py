@@ -1,0 +1,163 @@
+"""StyleGAN2-style G/D pair (Karras et al. 2019) — a capability EXTENSION
+beyond the gan-lab reference (which covers ResNetGAN/ProGAN/StyleGAN1;
+SURVEY.md 2.2). Shares the framework's mapping network, resample ops,
+trainer, EMA/truncation/mixing plumbing, losses and eval stack.
+
+Differences from the StyleGAN1 generator (models/stylegan.py):
+
+* AdaIN is replaced by weight (de)modulation — ``ops.modulated_conv2d``
+  (activation-side formulation: one shared-weight conv on the MXU).
+* Skip architecture: every resolution emits RGB via a modulated 1x1
+  toRGB (demodulate=False) and the upsampled RGBs accumulate — no
+  progressive fade-in, no per-phase heads. ``alpha`` is accepted for
+  trainer-API compatibility and ignored (the preset trains fixed-res,
+  ``schedule.progressive=False``).
+* The discriminator is the ProGAN/StyleGAN one with FIR-blurred
+  resampling, optionally with residual blocks (``ModelConfig.d_resnet``,
+  the paper's resnet D): skip = 1x1-conv + blur-down, scaled 1/sqrt(2).
+
+Style indexing: ``ws`` keeps the (N, L, w_dim) layout with
+L = 2*(res_log2 - 1) (models/stylegan.py::num_style_layers), so style
+mixing and truncation work unchanged. Conv layers consume indices
+0, 1, 2, ..., and each resolution's toRGB reuses its last conv's style
+(a documented simplification of the official per-toRGB index).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ganlab_tpu.config import ModelConfig
+from ganlab_tpu.models.layers import EqualDense, NoiseInjection, ConstInput
+from ganlab_tpu.models.stylegan import MappingNetwork, num_style_layers
+from ganlab_tpu.ops import upsample_blur_2x
+from ganlab_tpu.ops.equalized import leaky_relu
+from ganlab_tpu.ops.modulated import modulated_conv2d
+
+
+class ModulatedLayer(nn.Module):
+    """Style affine -> modulated conv (+demod) -> noise -> bias -> lrelu."""
+
+    features: int
+    kernel: int = 3
+    demodulate: bool = True
+    activate: bool = True
+
+    @nn.compact
+    def __call__(self, x, w_vec):
+        ci = x.shape[-1]
+        s = EqualDense(ci, gain=1.0, bias_init=1.0, name="affine")(w_vec)
+        wk = self.param(
+            "w", nn.initializers.normal(1.0),
+            (self.kernel, self.kernel, ci, self.features))
+        y = modulated_conv2d(x, wk.astype(x.dtype), s,
+                             demodulate=self.demodulate)
+        if self.activate:
+            y = NoiseInjection(name="noise")(y)
+        b = self.param("b", nn.initializers.zeros, (self.features,))
+        y = y + b.astype(y.dtype)
+        return leaky_relu(y) if self.activate else y
+
+
+class ToRGB(nn.Module):
+    """Modulated 1x1 conv to image channels, no demodulation (paper)."""
+
+    img_channels: int = 3
+
+    @nn.compact
+    def __call__(self, x, w_vec):
+        return ModulatedLayer(self.img_channels, kernel=1,
+                              demodulate=False, activate=False,
+                              name="conv")(x, w_vec)
+
+
+class Synthesis2Block(nn.Module):
+    """up(+blur) -> modconv/epilogue x2 (one resolution of the skip G)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, w_a, w_b):
+        x = upsample_blur_2x(x)
+        x = ModulatedLayer(self.features, name="conv0")(x, w_a)
+        x = ModulatedLayer(self.features, name="conv1")(x, w_b)
+        return x
+
+
+class Synthesis2Network(nn.Module):
+    """Skip-architecture synthesis: per-res toRGB, upsampled accumulation."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        max_lg = cfg.res_log2
+        self.const = ConstInput(cfg.nf(1), name="const")
+        self.conv4 = ModulatedLayer(cfg.nf(1), name="conv4")
+        self.blocks = tuple(
+            Synthesis2Block(cfg.nf(lg - 1), name=f"block{2 ** lg}")
+            for lg in range(3, max_lg + 1))
+        self.torgb = tuple(
+            ToRGB(cfg.img_channels, name=f"torgb{2 ** lg}")
+            for lg in range(2, max_lg + 1))
+
+    def __call__(self, ws, res_log2: int | None = None, alpha=1.0):
+        """ws: (N, L, w_dim); alpha accepted and ignored (skip arch)."""
+        del alpha
+        lg = self.cfg.res_log2 if res_log2 is None else res_log2
+        assert 2 <= lg <= self.cfg.res_log2
+
+        x = self.const(ws.shape[0], ws.dtype)
+        x = self.conv4(x, ws[:, 0])
+        rgb = self.torgb[0](x, ws[:, 0])
+        for i in range(lg - 2):
+            x = self.blocks[i](x, ws[:, 2 * i + 1], ws[:, 2 * i + 2])
+            rgb = upsample_blur_2x(rgb) + self.torgb[i + 1](x, ws[:, 2 * i + 2])
+        return rgb
+
+    def touch_all(self, ws):
+        return jnp.sum(self(ws))
+
+
+class StyleGAN2Generator(nn.Module):
+    """Mapping + skip synthesis; same public surface as StyleGenerator
+    (map_latents / synthesize / mixing via z2+crossover / touch_all)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.mapping = MappingNetwork(self.cfg, name="mapping")
+        self.synthesis = Synthesis2Network(self.cfg, name="synthesis")
+
+    def map_latents(self, z):
+        return self.mapping(z)
+
+    def synthesize(self, ws, res_log2: int | None = None, alpha=1.0):
+        return self.synthesis(ws, res_log2, alpha)
+
+    def __call__(self, z, res_log2: int | None = None, alpha=1.0,
+                 z2=None, crossover=None):
+        from ganlab_tpu.models.stylegan import mix_styles
+
+        lg = self.cfg.res_log2 if res_log2 is None else res_log2
+        nl = num_style_layers(lg)
+        w1 = self.mapping(z)
+        if z2 is None:
+            ws = jnp.repeat(w1[:, None, :], nl, axis=1)
+        else:
+            w2 = self.mapping(z2)
+            cross = nl if crossover is None else crossover
+            ws = mix_styles(w1, w2, cross, nl)
+        return self.synthesis(ws, lg, alpha)
+
+    def touch_all(self, z):
+        w = self.mapping(z)
+        ws = jnp.repeat(w[:, None, :], num_style_layers(self.cfg.res_log2),
+                        axis=1)
+        return self.synthesis.touch_all(ws)
+
+    def init_all(self, rng, batch: int = 1, dtype=jnp.float32):
+        z = jnp.zeros((batch, self.cfg.latent_dim), dtype)
+        return self.init(rng, z, method=StyleGAN2Generator.touch_all)

@@ -70,7 +70,7 @@ def build_generator_forward(cfg: Config, res_log2: int):
     g_model, _ = build_models(cfg.model)
     dtype = _dtype_of(cfg)
     zdim = cfg.model.latent_dim
-    is_style = isinstance(g_model, StyleGenerator)
+    is_style = hasattr(g_model, "map_latents")  # stylegan & stylegan2
 
     if not is_style:
         def forward(params_g, zkey, nkey, alpha, batch):
@@ -135,7 +135,7 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
     lc = cfg.loss
     d_loss_fn_base = L.D_LOSSES[lc.loss]
     g_loss_fn_base = L.G_LOSSES[lc.loss]
-    is_style = cfg.model.model == "stylegan"
+    is_style = cfg.model.model in ("stylegan", "stylegan2")
 
     fade_start = float(phase.start_img)
     fade_len = float(max(phase.fade_images, 1))
@@ -370,7 +370,7 @@ def build_sample_fn(cfg: Config, res_log2: int,
     Returned images are float32 in [-1, 1].
     """
     g_model, _ = build_models(cfg.model)
-    is_style = isinstance(g_model, StyleGenerator)
+    is_style = hasattr(g_model, "map_latents")  # stylegan & stylegan2
     dtype = _dtype_of(cfg)
     cutoff = cfg.model.truncation_cutoff
 

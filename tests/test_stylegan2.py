@@ -1,0 +1,141 @@
+"""StyleGAN2 extension: modulated conv oracle parity, model behavior,
+trainer integration (models/stylegan2.py, ops/modulated.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ganlab_tpu.config import ModelConfig, get_config
+from ganlab_tpu.models import build_models
+from ganlab_tpu.ops.modulated import modulated_conv2d
+from ganlab_tpu.ops.upfirdn import CONV_DIMS
+
+
+def rand(*shape, seed=0):
+    return np.random.RandomState(seed + sum(shape)).randn(*shape).astype(
+        np.float32)
+
+
+class TestModulatedConv:
+    """The activation-side formulation equals the per-sample-weight one."""
+
+    @pytest.mark.parametrize("demod", [True, False])
+    def test_matches_per_sample_weights(self, demod):
+        n, ci, co, k = 3, 5, 7, 3
+        x = jnp.array(rand(n, 6, 6, ci))
+        w = jnp.array(rand(k, k, ci, co, seed=1))
+        s = jnp.array(rand(n, ci, seed=2) * 0.5 + 1.0)
+
+        got = modulated_conv2d(x, w, s, demodulate=demod,
+                               gain=1.0, lr_mult=1.0)
+
+        import math
+        scale = 1.0 / math.sqrt(k * k * ci)
+        outs = []
+        for i in range(n):
+            wi = w * scale * s[i][None, None, :, None]
+            if demod:
+                d = 1.0 / jnp.sqrt(
+                    jnp.sum(jnp.square(wi), axis=(0, 1, 2)) + 1e-8)
+                wi = wi * d[None, None, None, :]
+            outs.append(lax.conv_general_dilated(
+                x[i:i + 1], wi, (1, 1), "SAME",
+                dimension_numbers=CONV_DIMS)[0])
+        ref = jnp.stack(outs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_demodulated_output_unit_variance_scaleish(self):
+        # Demodulation makes the output std independent of the style scale.
+        x = jnp.array(rand(4, 16, 16, 8))
+        w = jnp.array(rand(3, 3, 8, 8, seed=1))
+        y1 = modulated_conv2d(x, w, jnp.ones((4, 8)))
+        y2 = modulated_conv2d(x, w, jnp.full((4, 8), 10.0))
+        s1 = float(jnp.std(y1))
+        s2 = float(jnp.std(y2))
+        assert abs(s1 - s2) / s1 < 0.05
+
+
+def small_cfg(**over):
+    kw = dict(model="stylegan2", resolution=32, latent_dim=16,
+              fmap_base=128, fmap_max=16, mapping_layers=2, d_resnet=True)
+    kw.update(over)
+    return ModelConfig(**kw)
+
+
+class TestStyleGAN2Model:
+    def test_shapes_and_resnet_d(self):
+        cfg = small_cfg()
+        g, d = build_models(cfg)
+        pg = g.init_all(jax.random.PRNGKey(0))
+        pd = d.init_all(jax.random.PRNGKey(0))
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+        img = g.apply(pg, z, rngs={"noise": jax.random.PRNGKey(2)})
+        assert img.shape == (2, 32, 32, 3)
+        score = d.apply(pd, img)
+        assert score.shape == (2,)
+        # resnet D has skip convs
+        flat = jax.tree_util.tree_flatten_with_path(pd)[0]
+        assert any("skip" in jax.tree_util.keystr(kp) for kp, _ in flat)
+
+    def test_style_mixing_and_truncation_surface(self):
+        from ganlab_tpu.models.stylegan import num_style_layers, truncate_ws
+
+        cfg = small_cfg()
+        g, _ = build_models(cfg)
+        pg = g.init_all(jax.random.PRNGKey(0))
+        z1 = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+        z2 = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+        a = g.apply(pg, z1, z2=z2, crossover=1,
+                    rngs={"noise": jax.random.PRNGKey(3)})
+        b = g.apply(pg, z1, z2=z2, crossover=num_style_layers(5),
+                    rngs={"noise": jax.random.PRNGKey(3)})
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+        # truncation toward w_avg changes the output
+        w = g.apply(pg, z1, method="map_latents")
+        ws = jnp.repeat(w[:, None, :], num_style_layers(5), axis=1)
+        ws_t = truncate_ws(ws, jnp.zeros(16), 0.5, 8)
+        ia = g.apply(pg, ws, method="synthesize",
+                     rngs={"noise": jax.random.PRNGKey(3)})
+        ib = g.apply(pg, ws_t, method="synthesize",
+                     rngs={"noise": jax.random.PRNGKey(3)})
+        assert not np.allclose(np.asarray(ia), np.asarray(ib))
+
+    def test_skip_rgb_all_resolutions(self):
+        cfg = small_cfg()
+        g, d = build_models(cfg)
+        pg = g.init_all(jax.random.PRNGKey(0))
+        pd = d.init_all(jax.random.PRNGKey(0))
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+        for lg in (2, 3, 4, 5):
+            img = g.apply(pg, z, res_log2=lg,
+                          rngs={"noise": jax.random.PRNGKey(2)})
+            assert img.shape == (2, 2 ** lg, 2 ** lg, 3)
+            assert d.apply(pd, img, res_log2=lg).shape == (2,)
+
+
+class TestStyleGAN2Training:
+    def test_preset_and_train_steps(self, tmp_path):
+        from ganlab_tpu.train.loop import Trainer
+
+        cfg = get_config("stylegan2-256", **{
+            "model.resolution": 16, "model.latent_dim": 8,
+            "model.fmap_base": 64, "model.fmap_max": 8,
+            "model.mapping_layers": 2,
+            "data.dataset": "synthetic",
+            "loss.penalty_every": 2,
+            "run.total_steps": 5, "run.log_every": 2,
+            "run.checkpoint_every": 4, "run.sample_every": 0,
+            "run.compute_dtype": "float32",
+        })
+        cfg = cfg.replace(schedule=cfg.schedule.__class__(
+            progressive=False, batch_schedule={16: 4}))
+        tr = Trainer(cfg, workdir=str(tmp_path), use_mesh=False)
+        m = tr.train()
+        assert np.isfinite(float(jax.device_get(m["d_loss"])))
+        assert int(jax.device_get(tr.state.step)) == 5
+        # EMA sampling path (truncation) works for the new family
+        tr.save_samples(tag="t")
+        tr.close()
