@@ -193,9 +193,17 @@ def evaluate_checkpoint_fid(cfg, workdir: str, num_samples: int = 10000,
 
 
 def _real_cache_path(cfg, workdir: str, extractor, num_samples: int) -> str:
-    tag = (f"{getattr(extractor, 'name', 'extractor')}_"
-           f"{cfg.data.dataset}_{cfg.model.resolution}_"
-           f"n{num_samples}_s{cfg.run.seed}")
+    """Cache key must cover EVERYTHING that changes the real features:
+    the extractor identity INCLUDING whether pretrained weights loaded
+    (a random-init cache must never serve a pretrained eval), and the
+    dataset source directory — not just the dataset type name."""
+    import hashlib
+
+    ident = (f"{getattr(extractor, 'name', 'extractor')}_"
+             f"{'pre' if getattr(extractor, 'pretrained', False) else 'rand'}"
+             f"_{cfg.data.dataset}_{cfg.data.data_dir or ''}")
+    h = hashlib.sha1(ident.encode()).hexdigest()[:12]
+    tag = (f"{h}_{cfg.model.resolution}_n{num_samples}_s{cfg.run.seed}")
     return os.path.join(workdir, "fid_cache", f"real_{tag}.npz")
 
 

@@ -19,8 +19,9 @@ Differences from the StyleGAN1 generator (models/stylegan.py):
 Style indexing: ``ws`` keeps the (N, L, w_dim) layout with
 L = 2*(res_log2 - 1) (models/stylegan.py::num_style_layers), so style
 mixing and truncation work unchanged. Conv layers consume indices
-0, 1, 2, ..., and each resolution's toRGB reuses its last conv's style
-(a documented simplification of the official per-toRGB index).
+0..L-2 and each resolution's toRGB consumes the NEXT index (the official
+StyleGAN2 scheme: toRGB shares the dlatent of the following conv; the
+top toRGB takes L-1), so every style row is live.
 """
 
 from __future__ import annotations
@@ -111,10 +112,15 @@ class Synthesis2Network(nn.Module):
 
         x = self.const(ws.shape[0], ws.dtype)
         x = self.conv4(x, ws[:, 0])
-        rgb = self.torgb[0](x, ws[:, 0])
+        # Each toRGB consumes the NEXT style index (the official StyleGAN2
+        # indexing: toRGB shares the dlatent of the following conv layer;
+        # the top one takes the final index L-1) — every one of the
+        # L = 2*(lg-1) style rows is consumed.
+        rgb = self.torgb[0](x, ws[:, 1])
         for i in range(lg - 2):
             x = self.blocks[i](x, ws[:, 2 * i + 1], ws[:, 2 * i + 2])
-            rgb = upsample_blur_2x(rgb) + self.torgb[i + 1](x, ws[:, 2 * i + 2])
+            rgb = upsample_blur_2x(rgb) + \
+                self.torgb[i + 1](x, ws[:, 2 * i + 3])
         return rgb
 
     def touch_all(self, ws):

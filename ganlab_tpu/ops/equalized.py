@@ -110,7 +110,11 @@ def equalized_conv2d_up2(
     kh, kw, in_ch, _ = w.shape
     scale = he_constant(kh * kw * in_ch, gain) * lr_mult
     ws = w * jnp.asarray(scale, w.dtype)
-    if form == "hybrid" and taps is not None:
+    if form == "hybrid":
+        if taps is None:
+            raise ValueError(
+                "form='hybrid' supports only the blur taps (nearest-up "
+                "has no hybrid variant) — use form='dilated' or 'poly'")
         y = up2_conv2d_hybrid(x, ws)
     else:
         y = up2_conv2d(x, ws, taps=taps, polyphase=form == "poly")

@@ -120,8 +120,9 @@ def _phase_view(x_f: jax.Array) -> jax.Array:
     return x_f.reshape(n, h, wf, FOLD, fc // FOLD)
 
 
-def leaky_relu_folded(x_f, slope: float = 0.2):
-    return jnp.where(x_f >= 0, x_f, x_f * jnp.asarray(slope, x_f.dtype))
+# LeakyReLU is shape-agnostic elementwise — the logical op works on
+# folded tensors as-is; aliased here so folded call sites read uniformly.
+from ganlab_tpu.ops.equalized import leaky_relu as leaky_relu_folded  # noqa: E402,F401
 
 
 def bias_folded(x_f: jax.Array, b: jax.Array) -> jax.Array:

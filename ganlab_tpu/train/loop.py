@@ -179,7 +179,8 @@ class Trainer:
                         return metrics
                     # Flag-gated profiling (SURVEY.md 5): trace steps 10-20
                     # of the run into <workdir>/profile for xprof/tensorboard.
-                    if run.profile and steps_done >= 10 and steps_done < 20 \
+                    if run.profile and steps_done >= 10 \
+                            and not getattr(self, "_trace_done", False) \
                             and not getattr(self, "_trace_active", False):
                         jax.profiler.start_trace(
                             os.path.join(self.workdir, "profile"))
@@ -187,15 +188,18 @@ class Trainer:
                     if chunk > 1:
                         # Scan-chunked: one penalty-on dispatch + one
                         # scanned off-run per cycle; bounded by the phase
-                        # end and max_steps (single-step fallback inside
-                        # the stepper for partial tails).
+                        # end and max_steps. The stepper may consume FEWER
+                        # steps than offered (cycle realignment) — the
+                        # consumed count is the stacked metrics' length.
                         n = int(min(
                             chunk,
                             -(-(phase.end_img - shown) // global_batch)))
                         if max_steps is not None:
                             n = min(n, max_steps - steps_done)
                         stack = pf.next()
-                        self.state, mstack = step_fn(self.state, stack[:n])
+                        self.state, mstack = step_fn(
+                            self.state, stack if n == chunk else stack[:n])
+                        n = int(jax.tree.leaves(mstack)[0].shape[0])
                         metrics = jax.tree.map(lambda x: x[-1], mstack)
                         steps_done += n
                         shown += n * global_batch
@@ -204,8 +208,10 @@ class Trainer:
                         self.state, metrics = step_fn(self.state, pf.next())
                         steps_done += 1
                         shown += global_batch
-                    if run.profile and steps_done >= 20:
+                    if run.profile and steps_done >= 20 and \
+                            getattr(self, "_trace_active", False):
                         self._stop_trace(metrics)
+                        self._trace_done = True
 
                     step_i = steps_done
 

@@ -30,7 +30,6 @@ from jax import lax
 from ganlab_tpu.config import Config
 from ganlab_tpu.models import build_models
 from ganlab_tpu.models.stylegan import (
-    StyleGenerator,
     mix_styles,
     num_style_layers,
     truncate_ws,
@@ -183,15 +182,11 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         return keys, ks[0]
 
     def ema_beta(batch: int):
-        """Per-step G-EMA decay. With optim.ema_kimg set, the decay is
-        derived from the GLOBAL batch so the EMA's image-space horizon is
-        invariant to batch size and device count (official implementations
-        specify EMA in kimg); otherwise the flat per-step ema_beta."""
-        kimg = cfg.optim.ema_kimg
-        if not kimg or kimg <= 0:
-            return cfg.optim.ema_beta
+        """Per-step G-EMA decay from the GLOBAL batch (OptimConfig.
+        ema_beta_for): with ema_kimg set the horizon is invariant to batch
+        size and device count; psum of 1 over the mesh axis is static."""
         n_dev = lax.psum(1, axis_name) if axis_name else 1
-        return 0.5 ** (batch * n_dev / (kimg * 1000.0))
+        return cfg.optim.ema_beta_for(batch * n_dev)
 
     def penalty_term(params_d, alpha, real, fake_sg, k_gp, real_s):
         penalty = jnp.float32(0.0)
@@ -410,11 +405,14 @@ def make_chunked_stepper(cfg: Config, phase: PhaseSpec,
     scan body is the same step function, the RNG chain threads through
     state — tested equal in tests/test_chunked.py.
 
-    Returns ``(stepper, chunk)``: ``stepper(state, stack)`` consumes a
-    (chunk, B, H, W, C) uint8 stack and returns ``(state, metrics)`` with
-    each metric stacked (chunk,) in step order. Misaligned cycles (resume
-    mid-cycle) and partial tails fall back to slicing the stack through
-    the single-step programs.
+    Returns ``(stepper, chunk)``: ``stepper(state, stack)`` takes a
+    (<=chunk, B, H, W, C) uint8 stack and returns ``(state, metrics)``
+    with each metric stacked (n_consumed,) in step order — the CALLER
+    derives the consumed step count from the metric length. A misaligned
+    cycle position (resume or a phase starting mid-cycle) consumes only
+    the single steps needed to REALIGN (discarding the stack's tail), so
+    the scan fast path always resumes on the next call; partial tails run
+    as single steps.
     """
     k = cfg.loss.penalty_every
     has_penalty = cfg.loss.penalty in ("wgan-gp", "r1")
@@ -437,15 +435,19 @@ def make_chunked_stepper(cfg: Config, phase: PhaseSpec,
 
     def stepper(state, stack):
         n = stack.shape[0]
-        aligned = (counter["i"] % k) == 0
-        if aligned and n == k:
+        pos = counter["i"] % k
+        if pos == 0 and n == k:
             state, m_on = step_on(state, stack[0])
             state, m_off = chunk_off(state, stack[1:])
             counter["i"] += k
             metrics = jax.tree.map(
                 lambda a, b: jnp.concatenate([a[None], b]), m_on, m_off)
             return state, metrics
-        # Fallback: resume mid-cycle or a partial tail — single steps.
+        # Misaligned: consume ONLY the singles needed to realign (the
+        # unused stack tail is discarded — shuffled-stream data, and this
+        # happens at most once per phase/resume); partial tails (n < k)
+        # run fully as singles.
+        n = min(n, k - pos) if pos else n
         ms = []
         for i in range(n):
             use_pen = (counter["i"] % k) == 0
