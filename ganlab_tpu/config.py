@@ -118,6 +118,15 @@ class LossConfig:
     # StyleGAN's simultaneous-update semantics, vs the reference's
     # sequential D-then-G. ~15-20% faster; requires d_steps_per_g == 1.
     fused_g_step: bool = False
+    # Path-length regularization on G (StyleGAN2 sec. 3.2 / app. B — an
+    # extension beyond the reference; style families only). 0 disables.
+    # Official weight is 2.0, applied every pl_every steps with the lazy
+    # weight scaling; pl_decay is the running-mean EMA rate and
+    # pl_batch_shrink the fresh-latent batch divisor.
+    pl_weight: float = 0.0
+    pl_every: int = 4
+    pl_decay: float = 0.01
+    pl_batch_shrink: int = 2
 
 
 @dataclass(frozen=True)
@@ -300,7 +309,8 @@ def _preset_stylegan2_256() -> Config:
         model=ModelConfig(model="stylegan2", resolution=256, d_resnet=True),
         loss=LossConfig(loss="nonsaturating", penalty="r1",
                         penalty_weight=10.0, drift_weight=0.0,
-                        penalty_every=16, fused_g_step=True),
+                        penalty_every=16, fused_g_step=True,
+                        pl_weight=2.0, pl_every=4),
         schedule=ScheduleConfig(progressive=False),
     )
 

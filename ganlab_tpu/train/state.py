@@ -31,6 +31,10 @@ class TrainState(struct.PyTreeNode):
     rng: jax.Array              # PRNG key, replicated across devices
     step: jax.Array             # int32 optimizer-step counter
     shown_imgs: jax.Array       # float32 global shown-image counter
+    # Path-length regularization running mean (StyleGAN2 extension;
+    # loss.pl_weight). Scalar f32; unused (stays 0) when PL is off.
+    pl_mean: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.float32))
 
 
 def make_optimizers(cfg: Config, resolution: int | None = None

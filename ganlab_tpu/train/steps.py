@@ -108,7 +108,8 @@ def build_generator_forward(cfg: Config, res_log2: int):
 def build_train_step(cfg: Config, phase: PhaseSpec,
                      axis_name: str | None = None,
                      fold_device_rng: bool = True,
-                     penalty_override: bool | None = None) -> Callable:
+                     penalty_override: bool | None = None,
+                     pl_override: bool | None = None) -> Callable:
     """Pure (state, real_uint8) -> (state, metrics) for one phase.
 
     Wrap with jax.jit (single device) or shard_map+jit (DP) via
@@ -165,6 +166,44 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
     pen_weight = lc.penalty_weight * (
         lc.penalty_every if penalty_override is True else 1)
 
+    # Path-length regularization on G (StyleGAN2 extension; loss.pl_*).
+    # Same lazy-override pattern as the D penalty: None = as configured
+    # every step (plain weight), True = fire with interval-scaled weight,
+    # False = off (the program for non-fire steps).
+    pl_active = lc.pl_weight > 0 and is_style
+    with_pl = pl_active if pl_override is None else pl_override
+    pl_weight = lc.pl_weight * (lc.pl_every if pl_override is True else 1)
+    zdim = cfg.model.latent_dim
+
+    def pl_term(params_g, pl_mean, k_pl, alpha, batch):
+        """(penalty, new_pl_mean): E[(||J_w^T y|| - a)^2] with a = running
+        mean of the lengths (StyleGAN2 app. B). Fresh latents at
+        batch/pl_batch_shrink; grads wrt the per-layer styles via
+        grad-of-grad, like the R1 path."""
+        nb = max(batch // max(lc.pl_batch_shrink, 1), 1)
+        kz, kn, ky = jax.random.split(k_pl, 3)
+        z = jax.random.normal(kz, (nb, zdim), dtype)
+        w = g_model.apply(params_g, z, method="map_latents")
+        ws = jnp.repeat(w[:, None, :], num_style_layers(res_log2), axis=1)
+
+        def img_proj(ws_):
+            img = g_model.apply(params_g, ws_, res_log2, alpha,
+                                method="synthesize", rngs={"noise": kn})
+            scale = 1.0 / float(
+                (2 ** res_log2) )  # sqrt(H*W) = 2**res_log2 for square H=W
+            y = jax.random.normal(ky, img.shape, jnp.float32) * scale
+            return jnp.sum(img.astype(jnp.float32) * y)
+
+        g = jax.grad(img_proj)(ws)
+        pl_len = jnp.sqrt(jnp.mean(
+            jnp.sum(jnp.square(g.astype(jnp.float32)), axis=2), axis=1))
+        new_mean = pl_mean + jnp.float32(lc.pl_decay) * (
+            pmean(jnp.mean(pl_len)) - pl_mean)
+        new_mean = lax.stop_gradient(new_mean)
+        pen = jnp.float32(pl_weight) * jnp.mean(
+            jnp.square(pl_len - new_mean))
+        return pen, new_mean
+
     def derive_keys(state, n):
         """Per-device sampling keys + the replicated next key.
 
@@ -201,17 +240,20 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         return penalty
 
     def assemble(state, *, params_g, params_d, ema, opt_g_state, opt_d_state,
-                 w_avg, next_rng, batch, alpha, aux, g_loss):
+                 w_avg, next_rng, batch, alpha, aux, g_loss,
+                 pl_mean=None, pl_penalty=0.0):
         n_dev = lax.psum(1, axis_name) if axis_name else 1
         new_state = state.replace(
             params_g=params_g, params_d=params_d, params_ema=ema,
             opt_g=opt_g_state, opt_d=opt_d_state, w_avg=w_avg,
             rng=next_rng, step=state.step + 1,
-            shown_imgs=state.shown_imgs + jnp.float32(batch * n_dev))
+            shown_imgs=state.shown_imgs + jnp.float32(batch * n_dev),
+            pl_mean=state.pl_mean if pl_mean is None else pl_mean)
         metrics = {
             "d_loss": pmean(aux["d_loss"]),
             "g_loss": pmean(g_loss),
             "penalty": pmean(aux["penalty"]),
+            "pl_penalty": pmean(jnp.float32(pl_penalty)),
             "real_score": pmean(aux["real_score"]),
             "fake_score": pmean(aux["fake_score"]),
             "alpha": alpha,
@@ -227,8 +269,10 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
     def step(state: TrainState, real_u8) -> tuple[TrainState, dict]:
         batch = real_u8.shape[0]
         alpha = alpha_of(state.shown_imgs)
-        (k_flip, k_zd, k_nd, k_gp, k_zg, k_ng), next_rng = \
-            derive_keys(state, 6)
+        # 7 keys always (k_pl unused when PL is off) so the sampling
+        # streams are identical across the lazy on/off program variants.
+        (k_flip, k_zd, k_nd, k_gp, k_zg, k_ng, k_pl), next_rng = \
+            derive_keys(state, 7)
         real = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
 
         # ------------------------------------------------------------------
@@ -264,40 +308,48 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         def g_objective(params_g):
             fake, w_mean = gen_forward(params_g, k_zg, k_ng, alpha, batch)
             fake_s = d_apply(new_params_d, fake, alpha)
-            return g_loss_fn_base(fake_s), w_mean
+            g_loss = g_loss_fn_base(fake_s)
+            if with_pl:
+                pl_pen, new_pl = pl_term(params_g, state.pl_mean, k_pl,
+                                         alpha, batch)
+            else:
+                pl_pen, new_pl = jnp.float32(0.0), state.pl_mean
+            return g_loss + pl_pen, (w_mean, new_pl, pl_pen, g_loss)
 
         def run_g_update(operand):
-            params_g, opt_g_state, ema, w_avg = operand
-            (g_loss, w_mean), g_grads = jax.value_and_grad(
-                g_objective, has_aux=True)(params_g)
+            params_g, opt_g_state, ema, w_avg, pl_mean = operand
+            ((_, (w_mean, new_pl, pl_pen, g_loss)), g_grads) = \
+                jax.value_and_grad(g_objective, has_aux=True)(params_g)
             g_grads = pmean(g_grads)
             g_updates, new_opt_g = opt_g.update(g_grads, opt_g_state,
                                                 params_g)
             new_params_g = optax.apply_updates(params_g, g_updates)
             new_ema = _ema_update(ema, new_params_g, ema_beta(batch))
             new_w_avg = update_w_avg(w_avg, w_mean)
-            return new_params_g, new_opt_g, new_ema, new_w_avg, g_loss
+            return (new_params_g, new_opt_g, new_ema, new_w_avg, new_pl,
+                    g_loss, pl_pen)
 
         operand = (state.params_g, state.opt_g, state.params_ema,
-                   state.w_avg)
+                   state.w_avg, state.pl_mean)
         n_critic = max(1, lc.d_steps_per_g)
         if n_critic == 1:
-            (new_params_g, new_opt_g, new_ema, new_w_avg,
-             g_loss) = run_g_update(operand)
+            (new_params_g, new_opt_g, new_ema, new_w_avg, new_pl,
+             g_loss, pl_pen) = run_g_update(operand)
         else:
             do_g = (state.step % n_critic) == (n_critic - 1)
-            (new_params_g, new_opt_g, new_ema, new_w_avg,
-             g_loss) = lax.cond(
+            (new_params_g, new_opt_g, new_ema, new_w_avg, new_pl,
+             g_loss, pl_pen) = lax.cond(
                 do_g,
                 run_g_update,
-                lambda op: (*op, jnp.float32(0.0)),
+                lambda op: (*op, jnp.float32(0.0), jnp.float32(0.0)),
                 operand)
 
         return assemble(state, params_g=new_params_g, params_d=new_params_d,
                         ema=new_ema, opt_g_state=new_opt_g,
                         opt_d_state=new_opt_d, w_avg=new_w_avg,
                         next_rng=next_rng, batch=batch, alpha=alpha,
-                        aux=d_aux, g_loss=g_loss)
+                        aux=d_aux, g_loss=g_loss, pl_mean=new_pl,
+                        pl_penalty=pl_pen)
 
     def step_fused(state: TrainState, real_u8) -> tuple[TrainState, dict]:
         """Fused simultaneous update (loss.fused_g_step): ONE backward pass
@@ -309,7 +361,7 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         semantics, vs the reference's sequential D-then-G."""
         batch = real_u8.shape[0]
         alpha = alpha_of(state.shown_imgs)
-        (k_flip, k_z, k_n, k_gp), next_rng = derive_keys(state, 4)
+        (k_flip, k_z, k_n, k_gp, k_pl), next_rng = derive_keys(state, 5)
         real = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
 
         def objective(params):
@@ -324,10 +376,16 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             params_d_sg = jax.tree.map(lax.stop_gradient, params_d)
             g_scores = d_apply(params_d_sg, fake, alpha)
             g_loss = g_loss_fn_base(g_scores)
+            if with_pl:
+                pl_pen, new_pl = pl_term(params_g, state.pl_mean, k_pl,
+                                         alpha, batch)
+            else:
+                pl_pen, new_pl = jnp.float32(0.0), state.pl_mean
             aux = {"d_loss": d_loss, "g_loss": g_loss, "penalty": penalty,
                    "real_score": jnp.mean(real_s),
-                   "fake_score": jnp.mean(fake_s), "w_mean": w_mean}
-            return d_loss + penalty + g_loss, aux
+                   "fake_score": jnp.mean(fake_s), "w_mean": w_mean,
+                   "pl_pen": pl_pen, "pl_mean": new_pl}
+            return d_loss + penalty + g_loss + pl_pen, aux
 
         (_, aux), (d_grads, g_grads) = jax.value_and_grad(
             objective, has_aux=True)((state.params_d, state.params_g))
@@ -347,7 +405,8 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                         ema=new_ema, opt_g_state=new_opt_g,
                         opt_d_state=new_opt_d, w_avg=new_w_avg,
                         next_rng=next_rng, batch=batch, alpha=alpha,
-                        aux=aux, g_loss=aux["g_loss"])
+                        aux=aux, g_loss=aux["g_loss"],
+                        pl_mean=aux["pl_mean"], pl_penalty=aux["pl_pen"])
 
     if lc.fused_g_step:
         assert lc.d_steps_per_g == 1, \
@@ -414,34 +473,62 @@ def make_chunked_stepper(cfg: Config, phase: PhaseSpec,
     the scan fast path always resumes on the next call; partial tails run
     as single steps.
     """
-    k = cfg.loss.penalty_every
-    has_penalty = cfg.loss.penalty in ("wgan-gp", "r1")
+    lc = cfg.loss
+    k = lc.penalty_every
+    has_penalty = lc.penalty in ("wgan-gp", "r1")
     assert has_penalty and k > 1, "chunking requires lazy regularization"
+    combo_at, _ = _lazy_combos(cfg)
+    get = _program_cache(cfg, phase, wrap, axis_name, fold_device_rng)
 
-    step_on_fn = build_train_step(cfg, phase, axis_name=axis_name,
-                                  fold_device_rng=fold_device_rng,
-                                  penalty_override=True)
-    step_off_fn = build_train_step(cfg, phase, axis_name=axis_name,
-                                   fold_device_rng=fold_device_rng,
-                                   penalty_override=False)
-    step_on = wrap(step_on_fn)
-    step_off = wrap(step_off_fn)
+    pl_active = lc.pl_weight > 0 and \
+        cfg.model.model in ("stylegan", "stylegan2")
+    if pl_active and lc.pl_every > 1:
+        # Lazy PL inside the chunk: scan segments of plain steps between
+        # the PL singles. Cadences must nest for a periodic pattern.
+        assert k % lc.pl_every == 0, \
+            "chunking with lazy PL requires pl_every | penalty_every"
+        seg = lc.pl_every - 1
+    else:
+        seg = k - 1
 
-    def scan_off(state, stack):
-        return lax.scan(step_off_fn, state, stack)
+    # The scanned segment runs the "neither fires" program — except with
+    # every-step PL (pl_every <= 1), where PL is in every program (None).
+    # Index 1 is always a segment step (k > 1, and pe > 1 when lazy PL).
+    seg_combo = combo_at(1)
+    plain_fn = build_train_step(cfg, phase, axis_name=axis_name,
+                                fold_device_rng=fold_device_rng,
+                                penalty_override=seg_combo[0],
+                                pl_override=seg_combo[1])
 
-    chunk_off = wrap_chunk(scan_off)
+    def scan_plain(state, stack):
+        return lax.scan(plain_fn, state, stack)
+
+    chunk_plain = wrap_chunk(scan_plain) if seg > 0 else None
     counter = {"i": int(initial_step)}
+
+    def _expand(m):
+        return jax.tree.map(lambda a: a[None], m)
 
     def stepper(state, stack):
         n = stack.shape[0]
         pos = counter["i"] % k
         if pos == 0 and n == k:
-            state, m_on = step_on(state, stack[0])
-            state, m_off = chunk_off(state, stack[1:])
+            parts = []
+            idx = 0
+            segments = k // (seg + 1)
+            for s in range(segments):
+                state, m = (get(*combo_at(counter["i"] + idx))
+                            )(state, stack[idx])
+                parts.append(_expand(m))
+                idx += 1
+                if seg:
+                    state, mseg = chunk_plain(state, stack[idx:idx + seg])
+                    parts.append(mseg)
+                    idx += seg
+            assert idx == k, (idx, k)
             counter["i"] += k
             metrics = jax.tree.map(
-                lambda a, b: jnp.concatenate([a[None], b]), m_on, m_off)
+                lambda *xs: jnp.concatenate(xs), *parts)
             return state, metrics
         # Misaligned: consume ONLY the singles needed to realign (the
         # unused stack tail is discarded — shuffled-stream data, and this
@@ -450,14 +537,62 @@ def make_chunked_stepper(cfg: Config, phase: PhaseSpec,
         n = min(n, k - pos) if pos else n
         ms = []
         for i in range(n):
-            use_pen = (counter["i"] % k) == 0
+            state, m = (get(*combo_at(counter["i"])))(state, stack[i])
             counter["i"] += 1
-            state, m = (step_on if use_pen else step_off)(state, stack[i])
             ms.append(m)
         metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *ms)
         return state, metrics
 
     return stepper, k
+
+
+def _lazy_combos(cfg: Config):
+    """(d_override, pl_override) per step index for the lazy dispatch.
+
+    Returns ``combo_at(i)`` mapping the optimizer-step counter to the
+    ``build_train_step`` override pair: None = as-configured every step
+    (plain weight), True = fire with interval-scaled weight, False = the
+    non-fire program.
+    """
+    lc = cfg.loss
+    has_pen = lc.penalty in ("wgan-gp", "r1")
+    k = lc.penalty_every
+    pl_active = lc.pl_weight > 0 and \
+        cfg.model.model in ("stylegan", "stylegan2")
+    pe = lc.pl_every
+
+    def combo_at(i: int):
+        if not has_pen:
+            dpen = False
+        elif k <= 1:
+            dpen = None
+        else:
+            dpen = (i % k) == 0
+        if not pl_active:
+            pl = False
+        elif pe <= 1:
+            pl = None
+        else:
+            pl = (i % pe) == 0
+        return dpen, pl
+
+    lazy = (has_pen and k > 1) or (pl_active and pe > 1)
+    return combo_at, lazy
+
+
+def _program_cache(cfg: Config, phase: PhaseSpec, wrap, axis_name,
+                   fold_device_rng: bool = True):
+    cache: dict = {}
+
+    def get(dpen, pl):
+        if (dpen, pl) not in cache:
+            cache[(dpen, pl)] = wrap(build_train_step(
+                cfg, phase, axis_name=axis_name,
+                fold_device_rng=fold_device_rng,
+                penalty_override=dpen, pl_override=pl))
+        return cache[(dpen, pl)]
+
+    return get
 
 
 def make_lazy_stepper(cfg: Config, phase: PhaseSpec,
@@ -467,27 +602,25 @@ def make_lazy_stepper(cfg: Config, phase: PhaseSpec,
     """Host-side lazy-regularization dispatcher.
 
     ``wrap`` is the compile wrapper (make_single_step / make_parallel_step
-    partial). With ``loss.penalty_every`` = k > 1 this compiles two small
-    programs — penalty-on (k-scaled) and penalty-off — and picks per call
-    from the optimizer-step counter, which the caller seeds with the
-    restored ``initial_step`` on resume. k == 1 compiles one program.
+    partial). Each lazy regularizer (the D penalty at ``penalty_every``,
+    path-length at ``pl_every``) fires with interval-scaled weight on its
+    cadence; only the program variants that actually occur are compiled
+    (e.g. k=16, pl_every=4 -> 3 programs), dispatched host-side from the
+    optimizer-step counter, which the caller seeds with the restored
+    ``initial_step`` on resume. No laziness -> one program.
 
     Returns a callable (state, batch) -> (state, metrics).
     """
-    k = cfg.loss.penalty_every
-    has_penalty = cfg.loss.penalty in ("wgan-gp", "r1")
-    if not has_penalty or k <= 1:
-        return wrap(build_train_step(cfg, phase, axis_name=axis_name))
+    combo_at, lazy = _lazy_combos(cfg)
+    get = _program_cache(cfg, phase, wrap, axis_name)
+    if not lazy:
+        return get(*combo_at(0))
 
-    step_on = wrap(build_train_step(cfg, phase, axis_name=axis_name,
-                                    penalty_override=True))
-    step_off = wrap(build_train_step(cfg, phase, axis_name=axis_name,
-                                     penalty_override=False))
     counter = {"i": int(initial_step)}
 
     def stepper(state, batch):
-        use_pen = (counter["i"] % k) == 0
+        fn = get(*combo_at(counter["i"]))
         counter["i"] += 1
-        return (step_on if use_pen else step_off)(state, batch)
+        return fn(state, batch)
 
     return stepper
