@@ -192,7 +192,11 @@ def main() -> None:
     }
     # Ratchet cache: keep the best healthy-window measurement for the
     # watchdog fallback (the relay's degraded mode would otherwise
-    # overwrite it with platform weather).
+    # overwrite it with platform weather). NEVER from smoke mode — a tiny
+    # CPU config's img/s poisoning the cache would grossly misreport.
+    if os.environ.get("GANLAB_BENCH_SMOKE"):
+        print(json.dumps(row))
+        return
     try:
         prev = None
         if os.path.exists(CACHE_PATH):
