@@ -327,6 +327,11 @@ def _preset_stylegan1024() -> Config:
                         penalty_every=16, fused_g_step=False),
         schedule=ScheduleConfig(progressive=True, start_res=8,
                                 total_kimg=25000.0),
+        # Keep the r2-verified single-step dispatch for this preset: its
+        # programs sit within ~300 MB of HBM capacity, and the chunked
+        # path — while verified to FIT and run — could not be perf-
+        # validated on healthy hardware this round (relay degradation).
+        run=RunConfig(chunk_steps=False),
     )
 
 

@@ -32,9 +32,12 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array             # int32 optimizer-step counter
     shown_imgs: jax.Array       # float32 global shown-image counter
     # Path-length regularization running mean (StyleGAN2 extension;
-    # loss.pl_weight). Scalar f32; unused (stays 0) when PL is off.
-    pl_mean: jax.Array = struct.field(
-        default_factory=lambda: jnp.zeros((), jnp.float32))
+    # loss.pl_weight). Scalar f32 when PL is configured, else None — None
+    # is an EMPTY pytree leaf, so non-PL programs keep the exact verified
+    # input/output arity. (Measured: threading even one unused scalar
+    # through the 1024^2 R1 program flips XLA's buffer assignment and
+    # overflows HBM by 270 MB — BASELINE.md.)
+    pl_mean: Any = None
 
 
 def make_optimizers(cfg: Config, resolution: int | None = None
@@ -57,7 +60,12 @@ def create_train_state(cfg: Config, rng: jax.Array) -> TrainState:
     params_g = g_model.init_all(kg)
     params_d = d_model.init_all(kd)
     opt_g, opt_d = make_optimizers(cfg)
+    pl_mean = None
+    if cfg.loss.pl_weight > 0 and \
+            cfg.model.model in ("stylegan", "stylegan2"):
+        pl_mean = jnp.zeros((), jnp.float32)
     return TrainState(
+        pl_mean=pl_mean,
         params_g=params_g,
         params_d=params_d,
         params_ema=jax.tree.map(jnp.copy, params_g),

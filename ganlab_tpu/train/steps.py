@@ -253,11 +253,14 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             "d_loss": pmean(aux["d_loss"]),
             "g_loss": pmean(g_loss),
             "penalty": pmean(aux["penalty"]),
-            "pl_penalty": pmean(jnp.float32(pl_penalty)),
             "real_score": pmean(aux["real_score"]),
             "fake_score": pmean(aux["fake_score"]),
             "alpha": alpha,
         }
+        if pl_active:
+            # Only PL configs carry the extra metric: non-PL programs keep
+            # the exact verified output arity (see TrainState.pl_mean).
+            metrics["pl_penalty"] = pmean(jnp.float32(pl_penalty))
         return new_state, metrics
 
     def update_w_avg(w_avg, w_mean):
@@ -269,10 +272,20 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
     def step(state: TrainState, real_u8) -> tuple[TrainState, dict]:
         batch = real_u8.shape[0]
         alpha = alpha_of(state.shown_imgs)
-        # 7 keys always (k_pl unused when PL is off) so the sampling
-        # streams are identical across the lazy on/off program variants.
-        (k_flip, k_zd, k_nd, k_gp, k_zg, k_ng, k_pl), next_rng = \
-            derive_keys(state, 7)
+        # With PL configured, derive one extra key in BOTH lazy variants
+        # (streams stay aligned across on/off programs). Without PL the
+        # key layout — and hence the whole program — is unchanged from
+        # the non-PL build: the 1024^2 R1 program sits within ~300 MB of
+        # HBM capacity and even no-op graph additions can flip XLA's
+        # memory plan over the edge (measured: +270 MB from carrying an
+        # unused 7th key).
+        if pl_active:
+            (k_flip, k_zd, k_nd, k_gp, k_zg, k_ng, k_pl), next_rng = \
+                derive_keys(state, 7)
+        else:
+            (k_flip, k_zd, k_nd, k_gp, k_zg, k_ng), next_rng = \
+                derive_keys(state, 6)
+            k_pl = None
         real = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
 
         # ------------------------------------------------------------------
@@ -309,11 +322,13 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             fake, w_mean = gen_forward(params_g, k_zg, k_ng, alpha, batch)
             fake_s = d_apply(new_params_d, fake, alpha)
             g_loss = g_loss_fn_base(fake_s)
-            if with_pl:
-                pl_pen, new_pl = pl_term(params_g, state.pl_mean, k_pl,
-                                         alpha, batch)
-            else:
-                pl_pen, new_pl = jnp.float32(0.0), state.pl_mean
+            if not with_pl:
+                # Keep the non-PL objective byte-identical to the old
+                # build (see the key-derivation comment above).
+                return g_loss, (w_mean, state.pl_mean, jnp.float32(0.0),
+                                g_loss)
+            pl_pen, new_pl = pl_term(params_g, state.pl_mean, k_pl,
+                                     alpha, batch)
             return g_loss + pl_pen, (w_mean, new_pl, pl_pen, g_loss)
 
         def run_g_update(operand):
@@ -361,7 +376,12 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         semantics, vs the reference's sequential D-then-G."""
         batch = real_u8.shape[0]
         alpha = alpha_of(state.shown_imgs)
-        (k_flip, k_z, k_n, k_gp, k_pl), next_rng = derive_keys(state, 5)
+        # Key layout unchanged when PL is off — see step()'s comment.
+        if pl_active:
+            (k_flip, k_z, k_n, k_gp, k_pl), next_rng = derive_keys(state, 5)
+        else:
+            (k_flip, k_z, k_n, k_gp), next_rng = derive_keys(state, 4)
+            k_pl = None
         real = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
 
         def objective(params):
