@@ -47,6 +47,37 @@ class TestModulatedConv:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("demod", [True, False])
+    def test_matches_torch_oracle(self, demod):
+        """Independent torch implementation: per-sample modulated weights
+        through F.conv2d (the reference-style formulation)."""
+        import math
+        import torch
+        import torch.nn.functional as F
+
+        n, ci, co, k = 2, 4, 6, 3
+        x = rand(n, 5, 5, ci)
+        w = rand(k, k, ci, co, seed=1)
+        s = rand(n, ci, seed=2) * 0.5 + 1.0
+
+        got = modulated_conv2d(jnp.array(x), jnp.array(w), jnp.array(s),
+                               demodulate=demod, gain=1.0, lr_mult=1.0)
+
+        xt = torch.tensor(x).permute(0, 3, 1, 2)           # NCHW
+        wt = torch.tensor(w).permute(3, 2, 0, 1)           # OIHW
+        st = torch.tensor(s)
+        scale = 1.0 / math.sqrt(k * k * ci)
+        outs = []
+        for i in range(n):
+            wi = wt * scale * st[i][None, :, None, None]
+            if demod:
+                d = torch.rsqrt(wi.pow(2).sum(dim=(1, 2, 3)) + 1e-8)
+                wi = wi * d[:, None, None, None]
+            outs.append(F.conv2d(xt[i:i + 1], wi, padding=k // 2))
+        ref = torch.cat(outs).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(got), ref,
+                                   rtol=2e-4, atol=2e-4)
+
     def test_demodulated_output_unit_variance_scaleish(self):
         # Demodulation makes the output std independent of the style scale.
         x = jnp.array(rand(4, 16, 16, 8))
