@@ -47,8 +47,9 @@ HEALTHY_IMG_S = 150.0        # below this the relay is in its degraded mode
 
 
 def _arm_watchdog() -> None:
-    """If the whole run exceeds the watchdog, emit the last successful
-    measurement (clearly marked 'cached') rather than hanging the driver."""
+    """If the whole run exceeds the watchdog, emit the cached BEST
+    healthy-window measurement (ratcheted; 'measured_at'/'latest_*' fields
+    date it), clearly marked 'cached', rather than hanging the driver."""
     import signal
 
     def on_alarm(signum, frame):
@@ -134,9 +135,12 @@ def measure() -> dict:
         float(np.asarray(metrics["d_loss"][-1]))
         dt = time.perf_counter() - t0
         windows.append(steps * batch / dt / n_chips)
-        # Stream each window so the parent can salvage a partial
-        # measurement if this child hits its timeout mid-run.
-        print(f"CHILD_WINDOW {windows[-1]:.2f}", flush=True)
+        if "--child" in sys.argv:
+            # Stream each window so the parent can salvage a partial
+            # measurement if this child hits its timeout mid-run. (Child
+            # mode only — the in-process fallback must keep the parent's
+            # ONE-json-line stdout contract.)
+            print(f"CHILD_WINDOW {windows[-1]:.2f}", flush=True)
     return {
         "median": float(np.median(windows)),
         "windows_img_s": [round(w, 1) for w in windows],
@@ -183,6 +187,8 @@ def main() -> None:
                                      f"{CHILD_TIMEOUT}s child timeout"})
             else:
                 attempts.append({"error": f"child timeout {CHILD_TIMEOUT}s"})
+            if best is not None and best["median"] >= HEALTHY_IMG_S:
+                break  # a healthy salvaged partial already decides it
             continue
         line = next((ln for ln in stdout.splitlines()
                      if ln.startswith("CHILD_RESULT ")), None)
@@ -225,10 +231,18 @@ def main() -> None:
         if os.path.exists(CACHE_PATH):
             with open(CACHE_PATH) as f:
                 prev = json.load(f)
+        now = time.strftime("%Y-%m-%d %H:%M")
         if prev is None or row["value"] >= prev.get("value", 0.0):
-            row["measured_at"] = time.strftime("%Y-%m-%d %H:%M")
-            with open(CACHE_PATH, "w") as f:
-                json.dump(row, f)
+            row["measured_at"] = now
+            cache_row = dict(row)
+        else:
+            # Keep the ratcheted best but record the most recent live
+            # value so a watchdog fallback discloses both.
+            cache_row = dict(prev)
+            cache_row["latest_value"] = row["value"]
+            cache_row["latest_at"] = now
+        with open(CACHE_PATH, "w") as f:
+            json.dump(cache_row, f)
     except OSError:
         pass
     print(json.dumps(row))

@@ -239,6 +239,22 @@ class Config:
     data: DataConfig = field(default_factory=DataConfig)
     run: RunConfig = field(default_factory=RunConfig)
 
+    @property
+    def pl_active(self) -> bool:
+        """Path-length regularization configured? (The single source of
+        truth — drives the optional TrainState.pl_mean leaf, the extra
+        PRNG key, the pl metrics, and the lazy/chunked PL cadence.)"""
+        return self.loss.pl_weight > 0 and \
+            self.model.model in ("stylegan", "stylegan2")
+
+    @property
+    def pl_chunkable(self) -> bool:
+        """Lazy PL cadence nests inside the D cadence? (Required for the
+        scan-chunked stepper; Trainer falls back to per-step dispatch
+        otherwise.)"""
+        return (not self.pl_active or self.loss.pl_every <= 1
+                or self.loss.penalty_every % self.loss.pl_every == 0)
+
     def replace(self, **sections: Any) -> "Config":
         return dataclasses.replace(self, **sections)
 

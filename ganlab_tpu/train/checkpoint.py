@@ -34,12 +34,36 @@ class CheckpointManager:
     def restore(self, state_like: TrainState,
                 step: int | None = None) -> TrainState | None:
         """Restore the latest (or a given) checkpoint into the structure of
-        ``state_like``; returns None when no checkpoint exists."""
+        ``state_like``; returns None when no checkpoint exists.
+
+        Migration: ``pl_mean`` is an OPTIONAL leaf (None when path-length
+        regularization is not configured — train/state.py). A checkpoint
+        written without it restores as None even when the current config
+        enables PL; backfill the template's fresh zero so the first PL
+        step doesn't crash. The reverse (PL checkpoint into a non-PL
+        config) restores through a PL-shaped template and then drops the
+        leaf.
+        """
         target = step if step is not None else self._mgr.latest_step()
         if target is None:
             return None
-        return self._mgr.restore(
-            target, args=ocp.args.StandardRestore(state_like))
+        try:
+            restored = self._mgr.restore(
+                target, args=ocp.args.StandardRestore(state_like))
+        except Exception:
+            if state_like.pl_mean is not None:
+                raise
+            # Non-PL template but the checkpoint may carry pl_mean: retry
+            # with a PL-shaped template, then drop the leaf.
+            import jax.numpy as jnp
+
+            widened = state_like.replace(pl_mean=jnp.zeros((), jnp.float32))
+            restored = self._mgr.restore(
+                target, args=ocp.args.StandardRestore(widened))
+            return restored.replace(pl_mean=None)
+        if state_like.pl_mean is not None and restored.pl_mean is None:
+            restored = restored.replace(pl_mean=state_like.pl_mean)
+        return restored
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()

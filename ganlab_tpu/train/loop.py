@@ -97,14 +97,10 @@ class Trainer:
         regularization, and (when lazy PL is on) nesting cadences — else
         fall back to the per-step lazy dispatcher."""
         lc = self.cfg.loss
-        pl_active = lc.pl_weight > 0 and \
-            self.cfg.model.model in ("stylegan", "stylegan2")
-        pl_ok = (not pl_active or lc.pl_every <= 1
-                 or lc.penalty_every % lc.pl_every == 0)
         return bool(self.cfg.run.chunk_steps
                     and lc.penalty_every > 1
                     and lc.penalty in ("wgan-gp", "r1")
-                    and pl_ok)
+                    and self.cfg.pl_chunkable)
 
     def _step_fn(self, phase) -> Callable:
         key = (phase.res_log2, phase.kind, phase.start_img, phase.end_img)

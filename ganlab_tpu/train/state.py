@@ -60,10 +60,7 @@ def create_train_state(cfg: Config, rng: jax.Array) -> TrainState:
     params_g = g_model.init_all(kg)
     params_d = d_model.init_all(kd)
     opt_g, opt_d = make_optimizers(cfg)
-    pl_mean = None
-    if cfg.loss.pl_weight > 0 and \
-            cfg.model.model in ("stylegan", "stylegan2"):
-        pl_mean = jnp.zeros((), jnp.float32)
+    pl_mean = jnp.zeros((), jnp.float32) if cfg.pl_active else None
     return TrainState(
         pl_mean=pl_mean,
         params_g=params_g,

@@ -170,7 +170,12 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
     # Same lazy-override pattern as the D penalty: None = as configured
     # every step (plain weight), True = fire with interval-scaled weight,
     # False = off (the program for non-fire steps).
-    pl_active = lc.pl_weight > 0 and is_style
+    pl_active = cfg.pl_active
+    if pl_active and lc.d_steps_per_g > 1:
+        # The PL cadence (i % pl_every) is independent of the G-update
+        # cadence (i % n_critic) — PL would silently never fire (or fire
+        # with a wrong effective weight). Reject the combination.
+        raise ValueError("loss.pl_weight > 0 requires d_steps_per_g == 1")
     with_pl = pl_active if pl_override is None else pl_override
     pl_weight = lc.pl_weight * (lc.pl_every if pl_override is True else 1)
     zdim = cfg.model.latent_dim
@@ -478,11 +483,14 @@ def make_chunked_stepper(cfg: Config, phase: PhaseSpec,
     round-2 profile: 79 ms device vs 90 ms wall). With lazy regularization
     (``loss.penalty_every`` = k > 1) the step sequence is periodic
     [on, off x (k-1)], so the off-run is compiled ONCE as a
-    ``lax.scan`` over a (k-1)-stacked uint8 batch: per k steps the host
-    dispatches one penalty-on step and one scanned program instead of k
-    programs. Per-step math is IDENTICAL to the single-step path — the
-    scan body is the same step function, the RNG chain threads through
-    state — tested equal in tests/test_chunked.py.
+    ``lax.scan`` over a stacked uint8 batch: per k steps the host
+    dispatches one penalty-on step and one scanned program instead of k.
+    With lazy PL also active (pl_every | k required) the cycle interleaves
+    PL singles between (pl_every-1)-step scans — 2*k/pl_every dispatches
+    per k steps (e.g. 8 per 16 for the stylegan2 preset) instead of k.
+    Per-step math is IDENTICAL to the single-step path — the scan body is
+    the same step function, the RNG chain threads through state — tested
+    equal in tests/test_chunked.py.
 
     Returns ``(stepper, chunk)``: ``stepper(state, stack)`` takes a
     (<=chunk, B, H, W, C) uint8 stack and returns ``(state, metrics)``
@@ -500,8 +508,7 @@ def make_chunked_stepper(cfg: Config, phase: PhaseSpec,
     combo_at, _ = _lazy_combos(cfg)
     get = _program_cache(cfg, phase, wrap, axis_name, fold_device_rng)
 
-    pl_active = lc.pl_weight > 0 and \
-        cfg.model.model in ("stylegan", "stylegan2")
+    pl_active = cfg.pl_active
     if pl_active and lc.pl_every > 1:
         # Lazy PL inside the chunk: scan segments of plain steps between
         # the PL singles. Cadences must nest for a periodic pattern.
@@ -577,8 +584,7 @@ def _lazy_combos(cfg: Config):
     lc = cfg.loss
     has_pen = lc.penalty in ("wgan-gp", "r1")
     k = lc.penalty_every
-    pl_active = lc.pl_weight > 0 and \
-        cfg.model.model in ("stylegan", "stylegan2")
+    pl_active = cfg.pl_active
     pe = lc.pl_every
 
     def combo_at(i: int):

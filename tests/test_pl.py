@@ -106,6 +106,75 @@ class TestPathLength:
         assert np.isfinite(float(jax.device_get(m["g_loss"])))
         assert float(jax.device_get(state.pl_mean)) > 0
 
+    def test_pl_mean_replica_identical_under_dp(self):
+        """CLAUDE.md invariant: every new state update must stay
+        replica-identical under DP. pl_mean depends on the per-device PL
+        lengths only through a pmean — probe a per-device fingerprint
+        with devices drawing DIFFERENT latents (fold_device_rng=True)."""
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from ganlab_tpu.parallel import make_mesh, replicate, shard_batch
+        from ganlab_tpu.train.steps import build_train_step
+
+        if jax.device_count() < 8:
+            import pytest
+            pytest.skip("needs 8 fake devices")
+        cfg = pl_cfg()
+        phase = build_phases(cfg.schedule, cfg.model)[-1]
+        step = build_train_step(cfg, phase, axis_name="data",
+                                pl_override=True)
+
+        def probed(state, batch):
+            new_state, metrics = step(state, batch)
+            return new_state, metrics, new_state.pl_mean[None]
+
+        mesh = make_mesh()
+        par = jax.jit(jax.shard_map(
+            probed, mesh=mesh, in_specs=(P(), P("data")),
+            out_specs=(P(), P(), P("data")), check_vma=False))
+        state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)),
+                          mesh)
+        batch = shard_batch(np.random.RandomState(0).randint(
+            0, 256, (32, 16, 16, 3), np.uint8), mesh)
+        state, _, fps = par(state, batch)
+        fps = np.asarray(fps)
+        assert fps.shape == (8,)
+        assert fps[0] > 0
+        assert np.all(fps == fps[0]), fps
+
+    def test_pre_pl_checkpoint_resumes_into_pl_config(self, tmp_path):
+        """A checkpoint written WITHOUT PL (pl_mean=None) must resume
+        under a PL-enabled config: restore backfills a fresh zero and the
+        first PL step runs (checkpoint.py migration)."""
+        from ganlab_tpu.train.checkpoint import CheckpointManager
+
+        cfg_old = pl_cfg(**{"loss.pl_weight": 0.0})
+        cfg_new = pl_cfg()
+        old_state = create_train_state(cfg_old, jax.random.PRNGKey(0))
+        assert old_state.pl_mean is None
+        ckpt = CheckpointManager(str(tmp_path / "ck"), keep=1)
+        ckpt.save(0, jax.device_get(old_state))
+        ckpt.wait()
+
+        template = create_train_state(cfg_new, jax.random.PRNGKey(1))
+        restored = ckpt.restore(jax.device_get(template))
+        ckpt.close()
+        assert restored is not None
+        assert restored.pl_mean is not None
+        assert float(np.asarray(restored.pl_mean)) == 0.0
+        phase = build_phases(cfg_new.schedule, cfg_new.model)[-1]
+        step = make_lazy_stepper(cfg_new, phase, make_single_step)
+        state, m = step(restored, jnp.asarray(batches(1)[0]))
+        assert float(jax.device_get(m["pl_penalty"])) > 0
+
+    def test_pl_rejects_n_critic(self):
+        cfg = pl_cfg(**{"loss.d_steps_per_g": 2})
+        phase = build_phases(cfg.schedule, cfg.model)[-1]
+        from ganlab_tpu.train.steps import build_train_step
+        import pytest
+        with pytest.raises(ValueError, match="d_steps_per_g"):
+            build_train_step(cfg, phase)
+
     def test_pl_len_scales_with_output(self):
         """Property check of the length math: scaling G's output by c
         scales ||J^T y|| by c, so the first-step running mean scales."""
