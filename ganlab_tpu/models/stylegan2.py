@@ -26,6 +26,8 @@ top toRGB takes L-1), so every style row is live.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -39,12 +41,22 @@ from ganlab_tpu.ops.modulated import modulated_conv2d
 
 
 class ModulatedLayer(nn.Module):
-    """Style affine -> modulated conv (+demod) -> noise -> bias -> lrelu."""
+    """Style affine -> modulated conv (+demod) -> noise -> bias -> lrelu.
+
+    Gain bookkeeping (ADVICE r2): under demodulation the He sqrt(2)
+    folded into the conv weight is exactly cancelled (scaling the weight
+    scales the demod factor by the inverse), so the official recipe's
+    per-layer gain must come from the activation instead — the
+    ``fused_bias_act`` lrelu gain sqrt(2), applied post-activation here.
+    The non-demodulated toRGB path passes ``gain=1.0`` so its output
+    scale matches this codebase's (and the official) toRGB convention.
+    """
 
     features: int
     kernel: int = 3
     demodulate: bool = True
     activate: bool = True
+    gain: float = math.sqrt(2.0)
 
     @nn.compact
     def __call__(self, x, w_vec):
@@ -54,12 +66,14 @@ class ModulatedLayer(nn.Module):
             "w", nn.initializers.normal(1.0),
             (self.kernel, self.kernel, ci, self.features))
         y = modulated_conv2d(x, wk.astype(x.dtype), s,
-                             demodulate=self.demodulate)
+                             demodulate=self.demodulate, gain=self.gain)
         if self.activate:
             y = NoiseInjection(name="noise")(y)
         b = self.param("b", nn.initializers.zeros, (self.features,))
         y = y + b.astype(y.dtype)
-        return leaky_relu(y) if self.activate else y
+        if self.activate:
+            return leaky_relu(y) * jnp.asarray(math.sqrt(2.0), y.dtype)
+        return y
 
 
 class ToRGB(nn.Module):
@@ -71,7 +85,7 @@ class ToRGB(nn.Module):
     def __call__(self, x, w_vec):
         return ModulatedLayer(self.img_channels, kernel=1,
                               demodulate=False, activate=False,
-                              name="conv")(x, w_vec)
+                              gain=1.0, name="conv")(x, w_vec)
 
 
 class Synthesis2Block(nn.Module):

@@ -50,16 +50,22 @@ class CheckpointManager:
         try:
             restored = self._mgr.restore(
                 target, args=ocp.args.StandardRestore(state_like))
-        except Exception:
-            if state_like.pl_mean is not None:
+        except Exception as e:
+            # Only the specific pl_mean structure mismatch is migratable:
+            # non-PL template vs a checkpoint that carries the leaf. Any
+            # other failure (corrupt checkpoint, dtype/sharding mismatch)
+            # must surface as-is, not as a confusing second-attempt error.
+            if state_like.pl_mean is not None or "pl_mean" not in str(e):
                 raise
-            # Non-PL template but the checkpoint may carry pl_mean: retry
-            # with a PL-shaped template, then drop the leaf.
+            # Retry with a PL-shaped template, then drop the leaf.
             import jax.numpy as jnp
 
             widened = state_like.replace(pl_mean=jnp.zeros((), jnp.float32))
-            restored = self._mgr.restore(
-                target, args=ocp.args.StandardRestore(widened))
+            try:
+                restored = self._mgr.restore(
+                    target, args=ocp.args.StandardRestore(widened))
+            except Exception as e2:
+                raise e2 from e
             return restored.replace(pl_mean=None)
         if state_like.pl_mean is not None and restored.pl_mean is None:
             restored = restored.replace(pl_mean=state_like.pl_mean)

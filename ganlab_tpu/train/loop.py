@@ -79,6 +79,28 @@ class Trainer:
         self._source = source
         self._steps: dict[tuple, Callable] = {}
         self._samplers: dict[int, Callable] = {}
+        self._warn_chunk_cadences()
+
+    def _warn_chunk_cadences(self) -> None:
+        """Scan-chunked stepping quantizes host-side cadences to the chunk
+        cycle (the scanned off-run is one dispatch); a user cadence finer
+        than the cycle silently coarsens. Say so once up front."""
+        if not self.chunking:
+            return
+        cycle = self.cfg.loss.penalty_every
+        run = self.cfg.run
+        coarsened = [f"run.{name}={val}" for name, val in (
+            ("log_every", run.log_every),
+            ("sample_every", run.sample_every),
+            ("checkpoint_every", run.checkpoint_every),
+        ) if val and val < cycle]
+        if coarsened:
+            print(
+                f"warning: chunked stepping (run.chunk_steps) quantizes "
+                f"{', '.join(coarsened)} to the {cycle}-step lazy-"
+                f"regularization cycle — effective cadence is once per "
+                f"cycle; set run.chunk_steps=False for finer cadences",
+                flush=True)
 
     @property
     def source(self):

@@ -3,20 +3,27 @@
 The fast recipe (lazy R1 k=16 + fused simultaneous G/D update) buys
 ~1.8x throughput over strict parity (BASELINE.md). Its FID-neutrality
 claim is literature-based (StyleGAN2 sec. 5.1); this harness MEASURES it:
-two runs from the same seed, same data, same schedule — one per recipe —
-evaluated with the same Inception extractor and real-feature set.
+per seed, two runs from the same seed, same data, same schedule — one per
+recipe — each scored by BOTH feature extractors (FID + KID):
 
-Gated on weights: with $GANLAB_INCEPTION_WEIGHTS set (torchvision
-inception_v3 state_dict) and a real dataset configured, this produces the
-judged numbers. Without weights, ``--extractor inception`` uses the
-architecture-true random-init Inception port (forward math proven against
-a torch oracle in tests/test_fid.py), and the default ``auto`` uses the
-fast random-conv extractor — both valid for RELATIVE comparison between
-the two runs, which is exactly what neutrality needs.
+* the architecture-true InceptionV3 port (forward math proven against a
+  torch oracle in tests/test_fid.py) — pretrained when
+  $GANLAB_INCEPTION_WEIGHTS points at a torchvision inception_v3
+  state_dict, random-init otherwise;
+* the fast random-conv extractor.
+
+Random-init/random-conv features are valid for RELATIVE comparison
+between the two runs — which is exactly what neutrality needs; with the
+weights file the same command produces the judged absolute numbers.
+
+Results are appended per (seed, recipe) to <workdir>/results.json so a
+killed run resumes cheaply, and the final summary JSON aggregates the
+fast-vs-parity FID deltas across seeds per extractor.
 
 Usage:
     python scripts/ab_recipes.py [--res 64] [--kimg 64] [--batch 32]
         [--dataset synthetic] [--data-dir DIR] [--samples 2048]
+        [--seeds 0,1]
 """
 
 from __future__ import annotations
@@ -43,12 +50,10 @@ def main():
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--samples", type=int, default=2048)
     ap.add_argument("--workdir", default="ab_runs")
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--extractor", choices=("auto", "inception"),
-                    default="auto")
-    ap.add_argument("--fmap-base", type=int, default=8192)
-    ap.add_argument("--latent-dim", type=int, default=512)
+    ap.add_argument("--seeds", default="0,1",
+                    help="comma-separated run seeds (>=2 for spread)")
     args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",") if s != ""]
 
     import jax
 
@@ -63,65 +68,99 @@ def main():
         get_extractor,
         _collect_features,
     )
+    from ganlab_tpu.eval.inception import InceptionExtractor
     from ganlab_tpu.train.loop import Trainer
 
-    if args.extractor == "inception":
-        from ganlab_tpu.eval.inception import InceptionExtractor
+    extractors = {
+        "inception": InceptionExtractor(
+            weights_path=os.environ.get("GANLAB_INCEPTION_WEIGHTS")),
+        "randconv": get_extractor(),
+    }
 
-        extractor = InceptionExtractor(
-            weights_path=os.environ.get("GANLAB_INCEPTION_WEIGHTS"))
-    else:
-        extractor = get_extractor()
-    results = {}
-    for name, recipe in RECIPES.items():
-        over = {
-            "model.resolution": args.res,
-            "model.fmap_base": args.fmap_base,
-            "model.latent_dim": args.latent_dim,
-            "schedule.progressive": False,
-            "schedule.start_res": args.res,
-            "schedule.batch_schedule": {args.res: args.batch},
-            "schedule.total_kimg": args.kimg,
-            "data.dataset": args.dataset,
-            "run.seed": args.seed,
-            "run.sample_every": 0, "run.checkpoint_every": 0,
-            "run.log_every": 200,
-            **recipe,
+    os.makedirs(args.workdir, exist_ok=True)
+    results_path = os.path.join(args.workdir, "results.json")
+    results: dict[str, dict] = {}
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            results = json.load(f)
+        print(f"# resuming: {sorted(results)} already scored", flush=True)
+
+    for seed in seeds:
+        for name, recipe in RECIPES.items():
+            tag = f"s{seed}_{name}"
+            if tag in results:
+                continue
+            over = {
+                "model.resolution": args.res,
+                "schedule.progressive": False,
+                "schedule.start_res": args.res,
+                "schedule.batch_schedule": {args.res: args.batch},
+                "schedule.total_kimg": args.kimg,
+                "data.dataset": args.dataset,
+                "run.seed": seed,
+                "run.sample_every": 0, "run.checkpoint_every": 0,
+                "run.log_every": 200,
+                **recipe,
+            }
+            if args.data_dir:
+                over["data.data_dir"] = args.data_dir
+            cfg = get_config("stylegan-256", **over)
+            wd = os.path.join(args.workdir, tag)
+            os.makedirs(wd, exist_ok=True)
+            print(f"# training {tag}: res={args.res} kimg={args.kimg} "
+                  f"batch={args.batch}", flush=True)
+            tr = Trainer(cfg, workdir=wd, use_mesh=False)
+            try:
+                tr.train()
+                tr.save_samples(tag="ab_final")
+            finally:
+                tr.close()
+
+            row = {}
+            for ename, extractor in extractors.items():
+                real, fake = _collect_features(
+                    cfg, wd, args.samples, extractor,
+                    make_source(cfg.data, args.res, seed=seed + 99),
+                    batch=64)
+                row[ename] = {
+                    "fid": round(compute_fid(real, fake), 4),
+                    "kid": round(
+                        compute_kid(real, fake,
+                                    subset_size=min(1000, args.samples // 2)),
+                        6),
+                }
+            results[tag] = row
+            with open(results_path, "w") as f:
+                json.dump(results, f, indent=1)
+            print(json.dumps({tag: row}), flush=True)
+
+    # Aggregate: fast-vs-parity relative FID delta per extractor, per seed.
+    summary = {"metric": "recipe A/B FID (fast vs parity)",
+               "res": args.res, "kimg": args.kimg, "batch": args.batch,
+               "samples": args.samples,
+               "pretrained_weights": bool(
+                   os.environ.get("GANLAB_INCEPTION_WEIGHTS")),
+               "seeds": seeds, "per_extractor": {}}
+    for ename in extractors:
+        rels, rows = [], {}
+        for seed in seeds:
+            p = results[f"s{seed}_parity"][ename]
+            f_ = results[f"s{seed}_fast"][ename]
+            rel = (f_["fid"] - p["fid"]) / max(p["fid"], 1e-9)
+            rels.append(rel)
+            rows[f"seed{seed}"] = {"parity": p, "fast": f_,
+                                   "fid_rel": round(rel, 4)}
+        seed_spread = max(abs(r) for r in rels)
+        mean_rel = sum(rels) / len(rels)
+        summary["per_extractor"][ename] = {
+            **rows,
+            "mean_fid_rel": round(mean_rel, 4),
+            "max_abs_fid_rel": round(seed_spread, 4),
+            "neutral_within_5pct": bool(abs(mean_rel) <= 0.05),
         }
-        if args.data_dir:
-            over["data.data_dir"] = args.data_dir
-        cfg = get_config("stylegan-256", **over)
-        wd = os.path.join(args.workdir, name)
-        os.makedirs(wd, exist_ok=True)
-        print(f"# training recipe={name} res={args.res} "
-              f"kimg={args.kimg} ...", flush=True)
-        tr = Trainer(cfg, workdir=wd, use_mesh=False)
-        try:
-            tr.train()
-        finally:
-            tr.close()
-
-        real, fake = _collect_features(
-            cfg, wd, args.samples, extractor,
-            make_source(cfg.data, args.res, seed=args.seed + 99), batch=64)
-        results[name] = {
-            "fid": round(compute_fid(real, fake), 4),
-            "kid": round(compute_kid(real, fake,
-                                     subset_size=min(1000, args.samples // 2)),
-                         6),
-        }
-        print(json.dumps({name: results[name]}), flush=True)
-
-    pf, ff = results["parity"]["fid"], results["fast"]["fid"]
-    rel = (ff - pf) / max(pf, 1e-9)
-    print(json.dumps({
-        "metric": "recipe A/B FID",
-        "extractor": extractor.name,
-        "pretrained_weights": getattr(extractor, "pretrained", False),
-        "parity": results["parity"], "fast": results["fast"],
-        "fast_vs_parity_fid_rel": round(rel, 4),
-        "neutral_within_5pct": bool(abs(rel) <= 0.05),
-    }))
+    with open(os.path.join(args.workdir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -106,6 +106,7 @@ def assert_states_equal(a, b, mean_tol=1e-4, max_tol=2.5e-2,
     assert tot / n < mean_tol, tot / n
 
 
+@pytest.mark.slow
 class TestChunkedEqualsSingles:
     def test_aligned_full_cycles(self):
         cfg = tiny_cfg()
@@ -159,6 +160,7 @@ class TestChunkedEqualsSingles:
         assert_states_equal(s1, s2)
 
 
+@pytest.mark.slow
 class TestChunkedDP:
     def test_dp_chunk_matches_single_device(self):
         if jax.device_count() < 8:
@@ -187,6 +189,7 @@ class TestChunkedDP:
                             skip_counters=True)
 
 
+@pytest.mark.slow
 class TestTrainerChunked:
     def test_trainer_runs_chunked(self, tmp_path):
         from ganlab_tpu.train.loop import Trainer

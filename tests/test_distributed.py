@@ -54,7 +54,8 @@ def mesh():
     return make_mesh()
 
 
-@pytest.mark.parametrize("model", ["resnetgan", "stylegan"])
+@pytest.mark.parametrize("model", [
+    "resnetgan", pytest.param("stylegan", marks=pytest.mark.slow)])
 def test_dp_step_runs_and_counts_global_batch(mesh, model):
     cfg = tiny_config(model)
     phase = build_phases(cfg.schedule, cfg.model)[-1]
@@ -175,6 +176,7 @@ def test_trainer_end_to_end_on_mesh(tmp_path, mesh):
         tr.close()
 
 
+@pytest.mark.slow
 def test_fused_step_under_shard_map(mesh):
     """The fused simultaneous update (the stylegan presets' default) must
     hold the same DP guarantees: replica-identical state, exact equality
@@ -213,6 +215,57 @@ def test_fused_step_under_shard_map(mesh):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_ema_kimg_device_count_invariant(mesh):
+    """VERDICT r2 #4: with optim.ema_kimg set, the G-EMA horizon must be a
+    function of the GLOBAL batch only — an 8-device DP run at 2/device and
+    a single-device run at batch 16 apply the SAME per-step decay.
+
+    Isolation: lr_g=0 freezes params_g, and params_ema is perturbed away
+    from it, so after n steps ema = g + beta^n (ema0 - g) exactly — the
+    measured contraction factor IS beta^n, independent of D dynamics."""
+    import dataclasses
+
+    cfg = tiny_config("stylegan")
+    cfg = cfg.replace(optim=dataclasses.replace(
+        cfg.optim, lr_g=0.0, ema_kimg=0.1))   # beta = 0.5**(16/100) ~ 0.895
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    n_steps = 2
+    expected = cfg.optim.ema_beta_for(16) ** n_steps
+
+    def perturbed(state):
+        return state.replace(params_ema=jax.tree.map(
+            lambda x: x + 1.0, state.params_ema))
+
+    def contraction(g, e0, state1):
+        e1 = np.asarray(jax.tree.leaves(jax.device_get(state1).params_ema)[0])
+        num = (e1 - g).astype(np.float64).ravel()
+        den = (e0 - g).astype(np.float64).ravel()
+        return float(np.median(num / den))
+
+    # 8-device DP, 2 images/device (global 16).
+    par = make_parallel_step(
+        build_train_step(cfg, phase, axis_name="data"), mesh)
+    s_dp0 = perturbed(create_train_state(cfg, jax.random.PRNGKey(0)))
+    # Snapshot before stepping: the steppers donate their input state.
+    g0 = np.asarray(jax.tree.leaves(jax.device_get(s_dp0).params_g)[0])
+    e0 = np.asarray(jax.tree.leaves(jax.device_get(s_dp0).params_ema)[0])
+    s_dp = replicate(s_dp0, mesh)
+    for i in range(n_steps):
+        s_dp, _ = par(s_dp, shard_batch(fake_batch(16, 16, seed=i), mesh))
+
+    # Single device, batch 16 (same global batch).
+    single = make_single_step(build_train_step(cfg, phase))
+    s_1 = perturbed(create_train_state(cfg, jax.random.PRNGKey(0)))
+    for i in range(n_steps):
+        s_1, _ = single(s_1, fake_batch(16, 16, seed=i))
+
+    c_dp = contraction(g0, e0, s_dp)
+    c_1 = contraction(g0, e0, s_1)
+    assert c_dp == pytest.approx(expected, rel=1e-5)
+    assert c_1 == pytest.approx(expected, rel=1e-5)
+
+
+@pytest.mark.slow
 def test_two_process_distributed_matches_single_process(tmp_path):
     """REAL multi-process jax.distributed (SURVEY.md:346-348): two CPU
     processes with 4 fake devices each form one 8-device mesh; each feeds

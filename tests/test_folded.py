@@ -148,6 +148,7 @@ class TestFoldedModels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow
     def test_discriminator_gradients_match(self):
         cfg_f, cfg_p = _cfgs("stylegan")
         _, d_f = build_models(cfg_f)

@@ -80,6 +80,7 @@ class TestFusedUpConv:
 
 
 class TestParamCounts:
+    @pytest.mark.slow
     def test_stylegan_256_flagship_scale(self):
         """The flagship 256^2 StyleGAN pair lands at the expected scale
         (~26M params each with the paper's channel rule) — a regression

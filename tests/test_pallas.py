@@ -132,6 +132,7 @@ class TestMbstdPallas:
 
 
 class TestBackendDispatch:
+    @pytest.mark.slow
     def test_train_step_with_pallas_backend(self):
         """A full StyleGAN train step (grad-of-grad included) runs with the
         Pallas backend enabled and produces finite losses."""

@@ -2,6 +2,7 @@
 cadence, running-mean update, scale property, chunked-dispatch parity."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def batches(n, seed=0):
 
 
 class TestPathLength:
+    @pytest.mark.slow
     def test_cadence_and_running_mean(self):
         cfg = pl_cfg()
         phase = build_phases(cfg.schedule, cfg.model)[-1]
@@ -68,6 +70,7 @@ class TestPathLength:
         assert pl_means[2] > pl_means[1]
         assert np.isfinite(pl_means[-1])
 
+    @pytest.mark.slow
     def test_chunked_with_pl_matches_singles(self):
         cfg = pl_cfg()
         phase = build_phases(cfg.schedule, cfg.model)[-1]
@@ -95,6 +98,7 @@ class TestPathLength:
             float(jax.device_get(s1.pl_mean)),
             float(jax.device_get(s2.pl_mean)), rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.slow
     def test_pl_improves_nothing_breaks_sequential(self):
         # sequential (non-fused) path with PL also runs and updates state
         cfg = pl_cfg(**{"loss.fused_g_step": False})
@@ -106,6 +110,7 @@ class TestPathLength:
         assert np.isfinite(float(jax.device_get(m["g_loss"])))
         assert float(jax.device_get(state.pl_mean)) > 0
 
+    @pytest.mark.slow
     def test_pl_mean_replica_identical_under_dp(self):
         """CLAUDE.md invariant: every new state update must stay
         replica-identical under DP. pl_mean depends on the per-device PL

@@ -89,6 +89,57 @@ class TestModulatedConv:
         assert abs(s1 - s2) / s1 < 0.05
 
 
+class TestModulatedLayerGain:
+    """ADVICE r2: demodulation cancels the He sqrt(2) folded into the conv
+    weight, so ModulatedLayer must re-apply the official fused_bias_act
+    lrelu gain sqrt(2) post-activation — without it activations decay
+    ~0.65x per layer at init (std 1.0 -> ~0.08 after 6 layers)."""
+
+    def test_activation_scale_preserved_through_deep_stack(self):
+        from ganlab_tpu.models.stylegan2 import ModulatedLayer
+
+        layer = ModulatedLayer(features=32)
+        x = jnp.array(rand(8, 8, 8, 32, seed=3))
+        w_vec = jnp.array(rand(8, 16, seed=4))
+        stds = [float(jnp.std(x))]
+        for i in range(6):
+            p = layer.init(
+                {"params": jax.random.PRNGKey(i),
+                 "noise": jax.random.PRNGKey(100 + i)}, x, w_vec)
+            x = layer.apply(p, x, w_vec,
+                            rngs={"noise": jax.random.PRNGKey(200 + i)})
+            stds.append(float(jnp.std(x)))
+        # With the gain, per-layer std ratio hovers near 1 (lrelu(0.2) on a
+        # demodulated unit-variance pre-activation has std ~1/sqrt(2), the
+        # gain restores it); without it, std collapses to ~0.08x over 6
+        # layers. Allow generous slack for the affine/bias/noise wiggle.
+        assert stds[-1] / stds[0] > 0.5, stds
+        assert stds[-1] / stds[0] < 2.0, stds
+
+    def test_torgb_unit_gain(self):
+        """The non-demodulated toRGB conv must use gain=1.0 (this
+        codebase's and the official toRGB convention), not sqrt(2)."""
+        from ganlab_tpu.models.stylegan2 import ToRGB
+
+        torgb = ToRGB()
+        x = jnp.array(rand(2, 8, 8, 16, seed=5))
+        w_vec = jnp.array(rand(2, 12, seed=6))
+        p = torgb.init({"params": jax.random.PRNGKey(0)}, x, w_vec)
+        got = torgb.apply(p, x, w_vec)
+        # Reproduce with the op directly at gain=1.0: the layer's output
+        # must match the unit-gain formulation bit-for-bit (styles from
+        # the layer's own affine).
+        from ganlab_tpu.ops.modulated import modulated_conv2d as mc
+        from ganlab_tpu.ops.equalized import equalized_dense
+
+        ap = p["params"]["conv"]["affine"]
+        s = equalized_dense(w_vec, ap["w"], ap["b"], gain=1.0)
+        ref = mc(x, p["params"]["conv"]["w"], s,
+                 demodulate=False, gain=1.0) + p["params"]["conv"]["b"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def small_cfg(**over):
     kw = dict(model="stylegan2", resolution=32, latent_dim=16,
               fmap_base=128, fmap_max=16, mapping_layers=2, d_resnet=True)
@@ -148,6 +199,7 @@ class TestStyleGAN2Model:
 
 
 class TestStyleGAN2Training:
+    @pytest.mark.slow
     def test_preset_and_train_steps(self, tmp_path):
         from ganlab_tpu.train.loop import Trainer
 

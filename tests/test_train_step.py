@@ -288,6 +288,7 @@ def test_remat_preserves_values():
     np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_bf16_compute_dtype_step():
     """The full step runs with bfloat16 activations (the TPU default) and
     keeps params/EMA in f32 with finite losses."""
@@ -324,6 +325,7 @@ class TestFusedStep:
             state.params_d)[0]))
         assert not np.allclose(np.asarray(state.w_avg), 0.0)
 
+    @pytest.mark.slow
     def test_gradients_match_unfused_semantics(self):
         """Fused gradients == separately computed d-grad and g-grad (both
         against the PRE-update opponent, same keys)."""
