@@ -148,6 +148,15 @@ class OptimConfig:
     # count (the official implementations specify EMA in kimg; a per-step
     # beta shrinks the horizon x N_devices under DP). None keeps ema_beta.
     ema_kimg: float | None = None
+    # EMA horizon warmup (StyleGAN2-ADA's ema_rampup, typically 0.05):
+    # the effective horizon is min(ema_kimg kimg, shown_imgs * ema_rampup),
+    # so early in training the EMA tracks the live G closely instead of
+    # being anchored to the random init — directly improves short runs'
+    # FID (the EMA generator is what gets judged). Requires ema_kimg;
+    # None disables (the horizon is constant from step 0). The beta
+    # becomes a TRACED function of shown_imgs — same compiled program
+    # across the whole run.
+    ema_rampup: float | None = None
     # Reinitialize Adam moments at progressive phase boundaries (the
     # reference rebuilds/extends optimizers on growth, SURVEY.md:207).
     # Default False: stale moments on so-far-unused params are zero and the
@@ -159,6 +168,9 @@ class OptimConfig:
         object.__setattr__(self, "lr_mult_by_res",
                            _coerce_int_keys(self.lr_mult_by_res,
                                             "optim.lr_mult_by_res"))
+        if self.ema_rampup is not None and not (self.ema_kimg
+                                                and self.ema_kimg > 0):
+            raise ValueError("optim.ema_rampup requires optim.ema_kimg")
 
     def ema_beta_for(self, global_batch: int) -> float:
         """Per-step EMA decay for a given global batch (see ema_kimg)."""

@@ -225,11 +225,24 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             keys = jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
         return keys, ks[0]
 
-    def ema_beta(batch: int):
+    def ema_beta(batch: int, shown=None):
         """Per-step G-EMA decay from the GLOBAL batch (OptimConfig.
         ema_beta_for): with ema_kimg set the horizon is invariant to batch
-        size and device count; psum of 1 over the mesh axis is static."""
+        size and device count; psum of 1 over the mesh axis is static.
+
+        With ema_rampup also set (StyleGAN2-ADA), the horizon warms up as
+        min(ema_kimg*1000, shown_imgs*rampup) — beta becomes a TRACED
+        function of the pre-step shown-image counter (one program for the
+        whole run); otherwise beta stays a static constant and the
+        compiled program is unchanged from the non-rampup build."""
         n_dev = lax.psum(1, axis_name) if axis_name else 1
+        o = cfg.optim
+        if o.ema_rampup is not None and shown is not None:
+            nimg = jnp.minimum(jnp.float32(o.ema_kimg * 1000.0),
+                               shown.astype(jnp.float32)
+                               * jnp.float32(o.ema_rampup))
+            return jnp.float32(0.5) ** (
+                jnp.float32(batch * n_dev) / jnp.maximum(nimg, 1.0))
         return cfg.optim.ema_beta_for(batch * n_dev)
 
     def penalty_term(params_d, alpha, real, fake_sg, k_gp, real_s):
@@ -344,7 +357,8 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             g_updates, new_opt_g = opt_g.update(g_grads, opt_g_state,
                                                 params_g)
             new_params_g = optax.apply_updates(params_g, g_updates)
-            new_ema = _ema_update(ema, new_params_g, ema_beta(batch))
+            new_ema = _ema_update(ema, new_params_g,
+                                  ema_beta(batch, state.shown_imgs))
             new_w_avg = update_w_avg(w_avg, w_mean)
             return (new_params_g, new_opt_g, new_ema, new_w_avg, new_pl,
                     g_loss, pl_pen)
@@ -423,7 +437,7 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                                             state.params_g)
         new_params_g = optax.apply_updates(state.params_g, g_updates)
         new_ema = _ema_update(state.params_ema, new_params_g,
-                              ema_beta(batch))
+                              ema_beta(batch, state.shown_imgs))
         new_w_avg = update_w_avg(state.w_avg, aux["w_mean"])
 
         return assemble(state, params_g=new_params_g, params_d=new_params_d,

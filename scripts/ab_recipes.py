@@ -100,6 +100,10 @@ def main():
                 "run.seed": seed,
                 "run.sample_every": 0, "run.checkpoint_every": 0,
                 "run.log_every": 200,
+                # Short runs: warm up the G-EMA horizon (StyleGAN2-ADA
+                # ema_rampup) so the judged EMA generator isn't anchored
+                # to the random init. Same for both recipes.
+                "optim.ema_rampup": 0.05,
                 **recipe,
             }
             if args.data_dir:

@@ -80,6 +80,55 @@ def test_ema_kimg_beta_applied():
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_ema_rampup_warms_up_horizon():
+    """optim.ema_rampup (StyleGAN2-ADA): the effective EMA horizon is
+    min(ema_kimg*1000, shown_imgs*rampup), so beta grows over early steps.
+
+    Isolation trick: lr_g=0 freezes params_g and params_ema is perturbed
+    away from it, so the measured per-run contraction equals the product
+    of the per-step betas exactly — compared against the closed form."""
+    import dataclasses
+
+    kimg, rampup, bs, n_steps = 0.1, 0.5, 4, 3
+    cfg = tiny_config("resnetgan", **{"optim.ema_kimg": kimg})
+    cfg = cfg.replace(optim=dataclasses.replace(
+        cfg.optim, lr_g=0.0, ema_rampup=rampup))
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state = state.replace(params_ema=jax.tree.map(
+        lambda x: x + 1.0, state.params_ema))
+    g0 = np.asarray(jax.tree.leaves(jax.device_get(state).params_g)[0])
+    e0 = np.asarray(jax.tree.leaves(jax.device_get(state).params_ema)[0])
+    step = make_single_step(build_train_step(cfg, phase))
+
+    expected = 1.0
+    for t in range(n_steps):
+        shown = t * bs
+        nimg = max(min(kimg * 1000.0, shown * rampup), 1.0)
+        expected *= 0.5 ** (bs / nimg)
+    for t in range(n_steps):
+        state, _ = step(state, fake_batch(bs, 16, seed=t))
+
+    e1 = np.asarray(jax.tree.leaves(jax.device_get(state).params_ema)[0])
+    got = float(np.median(((e1 - g0) / (e0 - g0)).ravel()))
+    assert got == pytest.approx(expected, rel=1e-4)
+    # Sanity: the first step's beta is ~0 (horizon 1 image), so without
+    # the perturbation-cancelling product the EMA tracks the live G early.
+    assert expected < 0.05
+
+
+def test_ema_rampup_requires_kimg():
+    import dataclasses
+
+    from ganlab_tpu.config import OptimConfig
+
+    with pytest.raises(ValueError):
+        OptimConfig(ema_rampup=0.05)
+    with pytest.raises(ValueError):
+        OptimConfig(ema_rampup=0.05, ema_kimg=None)
+    OptimConfig(ema_rampup=0.05, ema_kimg=10.0)  # ok
+
+
 def test_rng_key_not_reused_across_steps():
     """The carried state key must differ from every key consumed in the
     step (ADVICE r1: split(base,1)[0] aliased the first consumed key)."""
