@@ -32,6 +32,7 @@ _API = {
     "ProGANLearner": "ganlab_tpu.learners",
     "StyleGANLearner": "ganlab_tpu.learners",
     "build_models": "ganlab_tpu.models",
+    "BatchSampler": "ganlab_tpu.serve",
 }
 
 

@@ -16,14 +16,20 @@ Random-init/random-conv features are valid for RELATIVE comparison
 between the two runs — which is exactly what neutrality needs; with the
 weights file the same command produces the judged absolute numbers.
 
+Noise control: a single end-of-run FID at short kimg is dominated by
+training-curve fluctuation (measured r3: ~27% seed-to-seed spread at
+64 kimg — far above the 5% question). Each run is therefore scored at
+THREE checkpoints (2/3, 5/6, 1.0 of the budget) and the per-run score is
+their mean — time-averaging the fluctuation — with >= 2 seeds on top.
+
 Results are appended per (seed, recipe) to <workdir>/results.json so a
 killed run resumes cheaply, and the final summary JSON aggregates the
 fast-vs-parity FID deltas across seeds per extractor.
 
 Usage:
-    python scripts/ab_recipes.py [--res 64] [--kimg 64] [--batch 32]
+    python scripts/ab_recipes.py [--res 64] [--kimg 192] [--batch 32]
         [--dataset synthetic] [--data-dir DIR] [--samples 2048]
-        [--seeds 0,1]
+        [--seeds 0,1,2]
 """
 
 from __future__ import annotations
@@ -44,8 +50,10 @@ RECIPES = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=64)
-    ap.add_argument("--kimg", type=float, default=64.0)
+    ap.add_argument("--kimg", type=float, default=192.0)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--eval-fracs", default="0.667,0.833,1.0",
+                    help="checkpoint fractions of --kimg scored and averaged")
     ap.add_argument("--dataset", default="synthetic")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--samples", type=int, default=2048)
@@ -113,35 +121,57 @@ def main():
             os.makedirs(wd, exist_ok=True)
             print(f"# training {tag}: res={args.res} kimg={args.kimg} "
                   f"batch={args.batch}", flush=True)
+            fracs = [float(x) for x in args.eval_fracs.split(",")]
+            targets = [int(round(args.kimg * f * 1000 / args.batch))
+                       for f in fracs]
+            # checkpoints: one per eval point, via ckpt-averaged scoring.
+            checkpoints: list[dict] = []
             tr = Trainer(cfg, workdir=wd, use_mesh=False)
             try:
-                tr.train()
+                done = 0
+                for t in targets:
+                    if t > done:
+                        tr.train(max_steps=t - done)
+                        done = t
+                    tr.save_checkpoint()
+                    tr.ckpt.wait()
+                    point = {}
+                    for ename, extractor in extractors.items():
+                        real, fake = _collect_features(
+                            cfg, wd, args.samples, extractor,
+                            make_source(cfg.data, args.res, seed=seed + 99),
+                            batch=64)
+                        point[ename] = {
+                            "fid": round(compute_fid(real, fake), 4),
+                            "kid": round(compute_kid(
+                                real, fake,
+                                subset_size=min(1000, args.samples // 2)), 6),
+                        }
+                    checkpoints.append(point)
+                    print(json.dumps({f"{tag}@{done}": point}), flush=True)
                 tr.save_samples(tag="ab_final")
             finally:
                 tr.close()
 
-            row = {}
-            for ename, extractor in extractors.items():
-                real, fake = _collect_features(
-                    cfg, wd, args.samples, extractor,
-                    make_source(cfg.data, args.res, seed=seed + 99),
-                    batch=64)
+            row = {"checkpoints": checkpoints}
+            for ename in extractors:
                 row[ename] = {
-                    "fid": round(compute_fid(real, fake), 4),
-                    "kid": round(
-                        compute_kid(real, fake,
-                                    subset_size=min(1000, args.samples // 2)),
-                        6),
+                    "fid": round(sum(c[ename]["fid"] for c in checkpoints)
+                                 / len(checkpoints), 4),
+                    "kid": round(sum(c[ename]["kid"] for c in checkpoints)
+                                 / len(checkpoints), 6),
                 }
             results[tag] = row
             with open(results_path, "w") as f:
                 json.dump(results, f, indent=1)
-            print(json.dumps({tag: row}), flush=True)
+            print(json.dumps({tag: {k: row[k] for k in extractors}}),
+                  flush=True)
 
     # Aggregate: fast-vs-parity relative FID delta per extractor, per seed.
     summary = {"metric": "recipe A/B FID (fast vs parity)",
                "res": args.res, "kimg": args.kimg, "batch": args.batch,
-               "samples": args.samples,
+               "samples": args.samples, "eval_fracs": args.eval_fracs,
+               "scoring": "mean FID/KID over the eval-frac checkpoints",
                "pretrained_weights": bool(
                    os.environ.get("GANLAB_INCEPTION_WEIGHTS")),
                "seeds": seeds, "per_extractor": {}}
