@@ -196,6 +196,10 @@ class Trainer:
 
             chunk = cfg.loss.penalty_every if self.chunking else 1
             place = self._place_stack if chunk > 1 else self._place
+            import time as _time
+
+            phase_t0 = _time.perf_counter()
+            phase_shown0 = shown
             with Prefetcher(self.source, feed_batch, phase.resolution,
                             place=place, depth=cfg.data.prefetch,
                             chunk=chunk) as pf:
@@ -255,6 +259,14 @@ class Trainer:
                                           tag=f"step{step_i:08d}")
                     if crossed(run.checkpoint_every):
                         self.save_checkpoint()
+            # Per-phase throughput (incl. compile; the dominant term over a
+            # full phase is steady-state stepping).
+            dt = _time.perf_counter() - phase_t0
+            if dt > 0 and shown > phase_shown0:
+                print(f"phase {phase.index} ({phase.resolution} "
+                      f"{phase.kind}): {(shown - phase_shown0) / dt:.1f} "
+                      f"img/s over {shown - phase_shown0:.0f} imgs",
+                      flush=True)
         self._finish()
         return metrics
 
