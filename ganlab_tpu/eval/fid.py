@@ -209,7 +209,17 @@ def _real_cache_path(cfg, workdir: str, extractor, num_samples: int) -> str:
 
 def _collect_features(cfg, workdir: str, num_samples: int,
                       extractor, source, batch: int,
-                      cache_real: bool = True):
+                      cache_real: bool = True, step: int | None = None,
+                      psi: float = 1.0):
+    """Feature pairs (real, fake) for the metrics above.
+
+    ``psi`` defaults to 1.0 — the official FID protocol samples the
+    generator WITHOUT truncation (truncation trades diversity for
+    fidelity, and FID punishes the diversity loss increasingly as w_avg
+    converges; found r3 when eval-at-0.7 made FID rise while samples
+    visibly improved). ``step`` selects a specific retained checkpoint
+    (None = latest).
+    """
     from ganlab_tpu.data import make_source
     from ganlab_tpu.train.checkpoint import CheckpointManager
     from ganlab_tpu.train.state import create_train_state
@@ -224,7 +234,7 @@ def _collect_features(cfg, workdir: str, num_samples: int,
 
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.run.seed))
     ckpt = CheckpointManager(os.path.join(workdir, cfg.run.checkpoint_dir))
-    restored = ckpt.restore(state)
+    restored = ckpt.restore(state, step=step)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint under {workdir}")
     state = restored
@@ -248,7 +258,7 @@ def _collect_features(cfg, workdir: str, num_samples: int,
         key, kz, kn = jax.random.split(key, 3)
         z = gen_latents(kz, b, cfg.model.latent_dim)
         fake = sample(state.params_ema, state.w_avg, z, kn,
-                      cfg.model.truncation_psi, 1.0)
+                      psi, 1.0)
         fake_feats.append(extractor(np.asarray(fake)))
         if real_cached is None:
             real_u8 = source.batch(b, cfg.model.resolution)

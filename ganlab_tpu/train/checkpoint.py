@@ -74,6 +74,10 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
+    def steps(self) -> list[int]:
+        """All retained checkpoint steps, ascending."""
+        return sorted(self._mgr.all_steps())
+
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 

@@ -125,22 +125,28 @@ def main():
             targets = [int(round(args.kimg * f * 1000 / args.batch))
                        for f in fracs]
             # checkpoints: one per eval point, via ckpt-averaged scoring.
+            # Scoring restores the retained checkpoint NEAREST each target
+            # (official untruncated psi=1.0 protocol — eval/fid.py), so a
+            # tag resumed from earlier checkpoints rescans cleanly.
+            import jax as _jax
+
             checkpoints: list[dict] = []
             tr = Trainer(cfg, workdir=wd, use_mesh=False)
             try:
-                done = 0
                 for t in targets:
-                    if t > done:
-                        tr.train(max_steps=t - done)
-                        done = t
+                    cur = int(_jax.device_get(tr.state.step))
+                    if t > cur:
+                        tr.train(max_steps=t - cur)
                     tr.save_checkpoint()
                     tr.ckpt.wait()
-                    point = {}
+                    score_step = min(tr.ckpt.steps(),
+                                     key=lambda s: abs(s - t))
+                    point = {"step": score_step}
                     for ename, extractor in extractors.items():
                         real, fake = _collect_features(
                             cfg, wd, args.samples, extractor,
                             make_source(cfg.data, args.res, seed=seed + 99),
-                            batch=64)
+                            batch=64, step=score_step)
                         point[ename] = {
                             "fid": round(compute_fid(real, fake), 4),
                             "kid": round(compute_kid(
@@ -148,7 +154,8 @@ def main():
                                 subset_size=min(1000, args.samples // 2)), 6),
                         }
                     checkpoints.append(point)
-                    print(json.dumps({f"{tag}@{done}": point}), flush=True)
+                    print(json.dumps({f"{tag}@{score_step}": point}),
+                          flush=True)
                 tr.save_samples(tag="ab_final")
             finally:
                 tr.close()

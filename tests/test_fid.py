@@ -258,3 +258,16 @@ def test_inception_extractor_batched_consistency():
     want = np.asarray(inception_pool3(params, preprocess(jnp.asarray(x))))
     assert got.shape == (5, 2048)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fid_protocol_untruncated_default():
+    """Protocol lock (r3): FID fakes must be sampled WITHOUT truncation by
+    default — psi=1.0 — per the official evaluation convention. Scoring at
+    the model's truncation_psi made FID rise as w_avg converged while
+    samples visibly improved (diversity collapse, not quality loss)."""
+    import inspect
+
+    from ganlab_tpu.eval.fid import _collect_features
+
+    assert inspect.signature(_collect_features).parameters["psi"].default \
+        == 1.0
