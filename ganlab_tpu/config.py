@@ -157,6 +157,13 @@ class OptimConfig:
     # becomes a TRACED function of shown_imgs — same compiled program
     # across the whole run.
     ema_rampup: float | None = None
+    # Official lazy-regularization Adam compensation (StyleGAN2
+    # training_loop.py): a network whose regularizer fires every k-th
+    # step trains with lr*k/(k+1) and beta**(k/(k+1)) so its effective
+    # per-image statistics match the every-step recipe. Applied to D via
+    # loss.penalty_every and to G via loss.pl_every (train/state.py::
+    # make_optimizers). False = raw hyperparameters (for A/Bs).
+    lazy_adjust: bool = True
     # Reinitialize Adam moments at progressive phase boundaries (the
     # reference rebuilds/extends optimizers on growth, SURVEY.md:207).
     # Default False: stale moments on so-far-unused params are zero and the
@@ -210,8 +217,12 @@ class ScheduleConfig:
 
 @dataclass(frozen=True)
 class DataConfig:
-    dataset: str = "synthetic"         # 'synthetic'|'cifar10'|'image_folder'|'image_folder_stream'|'npy'
+    dataset: str = "synthetic"         # 'synthetic'|'ellipses'|'cifar10'|'image_folder'|'image_folder_stream'|'npy'
     data_dir: str | None = None
+    # Pool size for the procedural sources (None = source default:
+    # synthetic 256, ellipses 2**30 i.e. effectively infinite). Small
+    # pools reproduce the small-dataset D-overfitting regime on purpose.
+    num_images: int | None = None
     hflip: bool = True
     num_workers: int = 8
     prefetch: int = 2
@@ -243,6 +254,35 @@ class RunConfig:
 
 
 @dataclass(frozen=True)
+class AugConfig:
+    """Discriminator augmentation (ADA — StyleGAN2-ADA; ops/augment.py).
+
+    ``mode``: 'off' (default), 'fixed' (constant strength ``p_init``), or
+    'ada' (adaptive: p tracks the overfitting heuristic r_t =
+    E[sign(D(real))] toward ``target``, moving by ±global_batch /
+    (kimg*1000) per step, clipped to [0, p_max]). Every image the
+    discriminator sees (reals and fakes, in the D and G losses and the
+    R1/GP penalty) is augmented at strength p; the sampling/eval path is
+    never augmented.
+    """
+    mode: str = "off"                  # 'off'|'fixed'|'ada'
+    p_init: float = 0.0
+    p_max: float = 0.8
+    target: float = 0.6                # official ADA target for r_t
+    kimg: float = 500.0                # adaptation speed (official 500)
+    categories: str = "bc"             # blit/color subset (see augment.py)
+
+    def __post_init__(self):
+        if self.mode not in ("off", "fixed", "ada"):
+            raise ValueError(f"aug.mode {self.mode!r} not in off/fixed/ada")
+        if self.mode == "fixed" and not 0.0 < self.p_init <= 1.0:
+            raise ValueError("aug.mode='fixed' needs 0 < aug.p_init <= 1")
+        if not set(self.categories) <= {"b", "c"} or not self.categories:
+            raise ValueError(f"aug.categories {self.categories!r}: use a "
+                             "non-empty subset of 'bc'")
+
+
+@dataclass(frozen=True)
 class Config:
     model: ModelConfig = field(default_factory=ModelConfig)
     loss: LossConfig = field(default_factory=LossConfig)
@@ -250,6 +290,7 @@ class Config:
     schedule: ScheduleConfig = field(default_factory=ScheduleConfig)
     data: DataConfig = field(default_factory=DataConfig)
     run: RunConfig = field(default_factory=RunConfig)
+    aug: AugConfig = field(default_factory=AugConfig)
 
     @property
     def pl_active(self) -> bool:
@@ -266,6 +307,18 @@ class Config:
         otherwise.)"""
         return (not self.pl_active or self.loss.pl_every <= 1
                 or self.loss.penalty_every % self.loss.pl_every == 0)
+
+    @property
+    def aug_active(self) -> bool:
+        """Discriminator augmentation applied at all? (aug.mode != off)"""
+        return self.aug.mode != "off"
+
+    @property
+    def ada_active(self) -> bool:
+        """ADAPTIVE augmentation? Single source of truth for the optional
+        TrainState.ada_p leaf, its extra metrics, and the in-graph p
+        update (mirrors the pl_active / pl_mean pattern)."""
+        return self.aug.mode == "ada"
 
     def replace(self, **sections: Any) -> "Config":
         return dataclasses.replace(self, **sections)

@@ -15,6 +15,7 @@ Replaces the reference's torchvision transform stacks + DataLoader
 """
 
 from ganlab_tpu.data.pipeline import (
+    EllipsesSource,
     SyntheticSource,
     ArraySource,
     NpySource,

@@ -71,6 +71,95 @@ class SyntheticSource(_IndexedSource):
         super().__init__(imgs, seed)
 
 
+class EllipsesSource:
+    """Procedural structured distribution: a flat background plus 1-3
+    anti-aliased colored ellipses with random center/axes/angle/color.
+
+    Unlike :class:`SyntheticSource` (a fixed pool the discriminator can
+    memorize — measured r3: FID rises after an early peak on the
+    256-image pool, the classic small-dataset D-overfitting signature),
+    this source is effectively infinite: image ``i`` is a pure function
+    of ``(seed, i)`` via a counter-based hash, with a virtual pool of
+    ``num_images`` (default 2**30). Set ``num_images`` small to study
+    overfitting / adaptive-augmentation behavior deliberately.
+
+    The underlying manifold is low-dimensional (≈13 parameters), so a
+    GAN can genuinely cover it and FID falls monotonically with
+    training — the property that makes relative FID A/Bs sensitive.
+    Rendering is resolution-independent (drawn at the requested res with
+    a ~1px soft edge), so every progressive phase sees the same
+    distribution.
+    """
+
+    def __init__(self, resolution: int, num_images: int = 1 << 30,
+                 seed: int = 0, max_ellipses: int = 3):
+        self.resolution = resolution
+        self.num_images = num_images
+        self.max_ellipses = max_ellipses
+        self._seed = np.uint64(seed)
+        self._rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def _hash(x: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer — vectorized uint64 -> uint64."""
+        m = np.uint64(0xFFFFFFFFFFFFFFFF)
+        with np.errstate(over="ignore"):   # uint64 wraparound is the point
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) & m
+            x = ((x ^ (x >> np.uint64(30)))
+                 * np.uint64(0xBF58476D1CE4E5B9)) & m
+            x = ((x ^ (x >> np.uint64(27)))
+                 * np.uint64(0x94D049BB133111EB)) & m
+            return x ^ (x >> np.uint64(31))
+
+    def _uniform(self, idx: np.ndarray, salt: int) -> np.ndarray:
+        """Deterministic U[0,1) per (seed, idx, salt), vectorized."""
+        h = self._hash(idx.astype(np.uint64)
+                       ^ self._hash(self._seed + np.uint64(salt)))
+        return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+    def render(self, idx: np.ndarray, res: int) -> np.ndarray:
+        """Render images for explicit indices at ``res`` (uint8 NHWC)."""
+        b, k = idx.shape[0], self.max_ellipses
+        u = np.stack([self._uniform(idx, s) for s in range(4 + 7 * k)],
+                     axis=1)                      # (B, 4+7K) param sheet
+        bg = (u[:, 0:3] * 120.0)                  # dark background RGB
+        n_active = 1 + (u[:, 3] * k).astype(np.int64)  # 1..K ellipses
+        p = u[:, 4:].reshape(b, k, 7)
+        cx, cy = 0.15 + 0.7 * p[..., 0], 0.15 + 0.7 * p[..., 1]
+        ax, ay = 0.08 + 0.22 * p[..., 2], 0.08 + 0.22 * p[..., 3]
+        ang = np.pi * p[..., 4]
+        col = 80.0 + 175.0 * np.stack(
+            [p[..., 5], p[..., 6], (p[..., 5] + p[..., 6]) % 1.0], axis=-1)
+        cos, sin = np.cos(ang), np.sin(ang)
+
+        g = (np.arange(res, dtype=np.float32) + 0.5) / res
+        ys, xs = g[:, None], g[None, :]           # (R,1), (1,R)
+        img = np.broadcast_to(
+            bg[:, None, None, :].astype(np.float32), (b, res, res, 3)).copy()
+        for j in range(k):                        # K is small and static
+            dx = xs - cx[:, j, None, None]
+            dy = ys - cy[:, j, None, None]
+            rx = (dx * cos[:, j, None, None] + dy * sin[:, j, None, None]) \
+                / ax[:, j, None, None]
+            ry = (-dx * sin[:, j, None, None] + dy * cos[:, j, None, None]) \
+                / ay[:, j, None, None]
+            q = rx * rx + ry * ry
+            alpha = np.clip((1.0 - q) * (0.25 * res) + 0.5, 0.0, 1.0)
+            alpha *= (j < n_active)[:, None, None].astype(np.float32)
+            img = img * (1.0 - alpha[..., None]) \
+                + col[:, j][:, None, None, :] * alpha[..., None]
+        return (img + 0.5).astype(np.uint8)
+
+    def batch(self, batch_size: int, res: int) -> np.ndarray:
+        assert res <= self.resolution, (res, self.resolution)
+        idx = self._rng.integers(0, self.num_images, size=batch_size)
+        return self.render(idx, res)
+
+    def iterator(self, batch_size: int, res: int) -> Iterator[np.ndarray]:
+        while True:
+            yield self.batch(batch_size, res)
+
+
 class ArraySource(_IndexedSource):
     """Wrap an in-memory uint8 array (N, R, R, C)."""
 
@@ -190,7 +279,11 @@ def make_source(data_cfg: DataConfig, resolution: int, seed: int = 0):
 def _make_source(data_cfg: DataConfig, resolution: int, seed: int):
     name = data_cfg.dataset
     if name == "synthetic":
-        return SyntheticSource(resolution, seed=seed)
+        return SyntheticSource(resolution, seed=seed,
+                               num_images=data_cfg.num_images or 256)
+    if name == "ellipses":
+        return EllipsesSource(resolution, seed=seed,
+                              num_images=data_cfg.num_images or (1 << 30))
     if name == "cifar10":
         if not data_cfg.data_dir:
             raise ValueError("cifar10 needs data.data_dir with the python "

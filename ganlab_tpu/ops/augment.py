@@ -1,0 +1,191 @@
+"""Differentiable image augmentation for ADA (StyleGAN2-ADA, Karras et
+al. 2020) — TPU-native rebuild, an extension beyond the reference (the
+reference trains without augmentation; SURVEY.md lists no equivalent).
+
+Why it exists here: measured in r3, the 256-image ``synthetic`` pool
+shows the paper's exact small-dataset failure — FID falls to an early
+minimum then RISES as the discriminator memorizes the pool. ADA fixes
+this by augmenting every image the discriminator sees (reals and fakes,
+in both the D and G losses) with a strength ``p`` that adapts to a
+measured overfitting heuristic.
+
+TPU-first design — everything is static-shaped, in-jit, and collapses
+to two cheap device ops regardless of how many transforms fire:
+
+* **blit transforms** (x-flip, 90° rotations, integer translation) are
+  composed on the *sampling coordinates* (integer index arithmetic, no
+  image touched) and applied as ONE reflect-padded gather;
+* **color transforms** (brightness, contrast, luma flip, hue rotation,
+  saturation) are composed into ONE per-sample 3x3 matrix + bias
+  (official ADA does the same) and applied as a single einsum the MXU
+  eats for free.
+
+Per-sample Bernoulli(p) gates every transform, so ``p`` is a TRACED
+scalar: adapting it never recompiles, and ``p = 0`` is the exact
+identity. Gradients flow through both the gather and the einsum, which
+is what lets the G loss backpropagate through augmented fakes.
+
+Deviation from the official pipeline: the general geometric category
+(arbitrary rotation/scaling through a wavelet-filtered resample) is not
+implemented — per the paper's ablation (fig. 4) blit+color carries most
+of the benefit, and the resample path is gather-heavy on TPU. The
+``categories`` string accepts "b", "c", or "bc" (default).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# ITU-style luma axis used by official ADA ([1,1,1]/sqrt(3)): luma flip,
+# hue rotation, and saturation all act around this axis in RGB space.
+_LUMA = (1.0 / math.sqrt(3.0),) * 3
+
+BRIGHTNESS_STD = 0.2
+CONTRAST_STD = 0.5 * math.log(2.0)
+SATURATION_STD = 1.0 * math.log(2.0)
+MAX_TRANSLATE = 0.125          # fraction of the resolution, official value
+
+
+class AugParams(NamedTuple):
+    """Per-sample transform draws (all (B,) or (B, ...) arrays).
+
+    Built by ``sample_params``; ``apply_augment`` is a pure function of
+    these, so tests can force specific transforms deterministically.
+    """
+    flip: jax.Array            # bool: apply x-flip
+    rot_k: jax.Array           # int32 0..3: number of 90° CCW turns
+    trans: jax.Array           # int32 (B, 2): (ty, tx) pixel shifts
+    color_mat: jax.Array       # f32 (B, 3, 3)
+    color_bias: jax.Array      # f32 (B, 3)
+
+
+def _rotation_about_luma(theta: jax.Array) -> jax.Array:
+    """Rodrigues rotation matrices (B,3,3) about the luma axis."""
+    v = jnp.asarray(_LUMA, jnp.float32)
+    K = jnp.array([[0.0, -v[2], v[1]],
+                   [v[2], 0.0, -v[0]],
+                   [-v[1], v[0], 0.0]], jnp.float32)
+    vv = jnp.outer(v, v)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    c = jnp.cos(theta)[:, None, None]
+    s = jnp.sin(theta)[:, None, None]
+    return eye * c + K * s + vv * (1.0 - c)
+
+
+def sample_params(key: jax.Array, batch: int, res: int, p: jax.Array,
+                  categories: str = "bc") -> AugParams:
+    """Draw per-sample transforms, each gated by Bernoulli(p)."""
+    p = jnp.asarray(p, jnp.float32)
+    (k_f, k_r, k_rk, k_t, k_tv, k_b, k_bv, k_c, k_cv, k_l, k_h, k_hv,
+     k_s, k_sv) = jax.random.split(key, 14)
+
+    use_blit = "b" in categories
+    use_color = "c" in categories
+
+    def gate(k, shape=(batch,)):
+        return jax.random.bernoulli(k, p, shape)
+
+    zero_i = jnp.zeros((batch,), jnp.int32)
+    if use_blit:
+        flip = gate(k_f)
+        rot_k = jnp.where(gate(k_r),
+                          jax.random.randint(k_rk, (batch,), 0, 4), 0)
+        max_t = max(int(round(res * MAX_TRANSLATE)), 1)
+        trans = jnp.where(
+            gate(k_t)[:, None],
+            jax.random.randint(k_tv, (batch, 2), -max_t, max_t + 1), 0)
+    else:
+        flip, rot_k = jnp.zeros((batch,), bool), zero_i
+        trans = jnp.zeros((batch, 2), jnp.int32)
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (batch, 3, 3))
+    bias = jnp.zeros((batch, 3), jnp.float32)
+    mat = eye
+    if use_color:
+        # Composed in the official order: brightness, contrast, luma
+        # flip, hue, saturation. Each factor is I unless its gate fires.
+        b = jnp.where(gate(k_b),
+                      jax.random.normal(k_bv, (batch,)) * BRIGHTNESS_STD,
+                      0.0)
+        bias = bias + b[:, None]                       # acts on [-1,1] RGB
+        c = jnp.where(gate(k_c),
+                      jnp.exp(jax.random.normal(k_cv, (batch,))
+                              * CONTRAST_STD), 1.0)
+        mat = mat * c[:, None, None]
+        bias = bias * c[:, None]
+
+        v = jnp.asarray(_LUMA, jnp.float32)
+        lumaflip = jnp.eye(3) - 2.0 * jnp.outer(v, v)
+        flip_m = jnp.where(gate(k_l)[:, None, None], lumaflip, jnp.eye(3))
+        mat = flip_m @ mat
+        bias = jnp.einsum("bij,bj->bi", flip_m, bias)
+
+        theta = jnp.where(gate(k_h),
+                          jax.random.uniform(k_hv, (batch,),
+                                             minval=-jnp.pi,
+                                             maxval=jnp.pi), 0.0)
+        rot = _rotation_about_luma(theta)
+        mat = rot @ mat
+        bias = jnp.einsum("bij,bj->bi", rot, bias)
+
+        s = jnp.where(gate(k_s),
+                      jnp.exp(jax.random.normal(k_sv, (batch,))
+                              * SATURATION_STD), 1.0)
+        vv = jnp.outer(v, v)
+        sat = vv[None] + (jnp.eye(3) - vv)[None] * s[:, None, None]
+        mat = sat @ mat
+        bias = jnp.einsum("bij,bj->bi", sat, bias)
+
+    return AugParams(flip=flip, rot_k=rot_k, trans=trans,
+                     color_mat=mat, color_bias=bias)
+
+
+def _reflect(idx: jax.Array, res: int) -> jax.Array:
+    """Reflect out-of-range indices into [0, res) (period 2*res)."""
+    t = jnp.mod(idx, 2 * res)
+    return jnp.where(t >= res, 2 * res - 1 - t, t)
+
+
+def apply_augment(x: jax.Array, params: AugParams) -> jax.Array:
+    """Apply sampled transforms to NHWC images in [-1, 1].
+
+    One gather (blit) + one einsum (color); differentiable wrt ``x``.
+    """
+    b, res = x.shape[0], x.shape[1]
+    assert x.shape[1] == x.shape[2], "square images only"
+
+    # --- blit: compose output->input coordinate maps, then gather once.
+    oy = jnp.broadcast_to(jnp.arange(res)[None, :, None], (b, res, res))
+    ox = jnp.broadcast_to(jnp.arange(res)[None, None, :], (b, res, res))
+    # inverse translation (reflect-padded below)
+    iy = oy - params.trans[:, 0, None, None]
+    ix = ox - params.trans[:, 1, None, None]
+    # inverse of k CCW quarter-turns, selected per sample
+    k = params.rot_k[:, None, None]
+    iy, ix = (
+        jnp.select([k == 0, k == 1, k == 2], [iy, res - 1 - ix, res - 1 - iy],
+                   default=ix),
+        jnp.select([k == 0, k == 1, k == 2], [ix, iy, res - 1 - ix],
+                   default=res - 1 - iy),
+    )
+    ix = jnp.where(params.flip[:, None, None], res - 1 - ix, ix)
+    iy, ix = _reflect(iy, res), _reflect(ix, res)
+    bi = jnp.arange(b)[:, None, None]
+    out = x[bi, iy, ix]
+
+    # --- color: one per-sample 3x3 + bias.
+    mat = params.color_mat.astype(out.dtype)
+    bias = params.color_bias.astype(out.dtype)
+    out = jnp.einsum("bhwc,bdc->bhwd", out, mat) + bias[:, None, None, :]
+    return out
+
+
+def augment(x: jax.Array, p: jax.Array, key: jax.Array,
+            categories: str = "bc") -> jax.Array:
+    """ADA pipeline: per-sample transforms at strength ``p`` (traced)."""
+    params = sample_params(key, x.shape[0], x.shape[1], p, categories)
+    return apply_augment(x, params)

@@ -36,39 +36,46 @@ class CheckpointManager:
         """Restore the latest (or a given) checkpoint into the structure of
         ``state_like``; returns None when no checkpoint exists.
 
-        Migration: ``pl_mean`` is an OPTIONAL leaf (None when path-length
-        regularization is not configured — train/state.py). A checkpoint
-        written without it restores as None even when the current config
-        enables PL; backfill the template's fresh zero so the first PL
-        step doesn't crash. The reverse (PL checkpoint into a non-PL
-        config) restores through a PL-shaped template and then drops the
-        leaf.
+        Migration: ``pl_mean`` and ``ada_p`` are OPTIONAL leaves (None
+        when path-length regularization / ADA is not configured —
+        train/state.py). A checkpoint written without one restores as
+        None even when the current config enables the feature; backfill
+        the template's fresh value so the first step doesn't crash. The
+        reverse (a checkpoint carrying the leaf into a config without
+        it) restores through a widened template and then drops the leaf.
         """
         target = step if step is not None else self._mgr.latest_step()
         if target is None:
             return None
+        optional = ("pl_mean", "ada_p")
         try:
             restored = self._mgr.restore(
                 target, args=ocp.args.StandardRestore(state_like))
         except Exception as e:
-            # Only the specific pl_mean structure mismatch is migratable:
-            # non-PL template vs a checkpoint that carries the leaf. Any
-            # other failure (corrupt checkpoint, dtype/sharding mismatch)
-            # must surface as-is, not as a confusing second-attempt error.
-            if state_like.pl_mean is not None or "pl_mean" not in str(e):
-                raise
-            # Retry with a PL-shaped template, then drop the leaf.
+            # Only a structure mismatch on the optional leaves is
+            # migratable: a None-leaved template vs a checkpoint that
+            # carries the value. Any other failure (corrupt checkpoint,
+            # dtype/sharding mismatch) must surface as-is, not as a
+            # confusing second-attempt error.
             import jax.numpy as jnp
 
-            widened = state_like.replace(pl_mean=jnp.zeros((), jnp.float32))
+            todo = [n for n in optional
+                    if getattr(state_like, n) is None and n in str(e)]
+            if not todo:
+                raise
+            widened = state_like.replace(
+                **{n: jnp.zeros((), jnp.float32) for n in todo})
             try:
                 restored = self._mgr.restore(
                     target, args=ocp.args.StandardRestore(widened))
             except Exception as e2:
                 raise e2 from e
-            return restored.replace(pl_mean=None)
-        if state_like.pl_mean is not None and restored.pl_mean is None:
-            restored = restored.replace(pl_mean=state_like.pl_mean)
+            return restored.replace(**{n: None for n in todo})
+        for name in optional:
+            if getattr(state_like, name) is not None \
+                    and getattr(restored, name) is None:
+                restored = restored.replace(
+                    **{name: getattr(state_like, name)})
         return restored
 
     def latest_step(self) -> int | None:

@@ -35,6 +35,7 @@ from ganlab_tpu.models.stylegan import (
     truncate_ws,
 )
 from ganlab_tpu.ops import losses as L
+from ganlab_tpu.ops.augment import augment
 from ganlab_tpu.train.schedule import PhaseSpec
 from ganlab_tpu.train.state import TrainState, make_optimizers
 
@@ -209,6 +210,32 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             jnp.square(pl_len - new_mean))
         return pen, new_mean
 
+    # Discriminator augmentation (aug.*; ops/augment.py). Every image D
+    # sees — reals and fakes, in the D and G losses and the penalty — is
+    # augmented at strength p; sampling/eval is untouched. p is TRACED
+    # (state.ada_p when adaptive, a constant when fixed), so adaptation
+    # never recompiles. When off, nothing below changes any program.
+    aug_active = cfg.aug_active
+    ada_active = cfg.ada_active
+
+    def aug_p_of(state):
+        if not aug_active:
+            return None
+        return state.ada_p if ada_active else jnp.float32(cfg.aug.p_init)
+
+    def maybe_aug(x, key, p):
+        return augment(x, p, key, cfg.aug.categories) if aug_active else x
+
+    def ada_update(state, rt, batch):
+        """In-graph p step toward the overfitting target (official ADA:
+        p moves by ±global_batch/(kimg*1000) per step, following
+        sign(r_t - target) with r_t = E[sign(D(real_aug))]). ``rt`` is
+        already pmean'd, so the update is replica-identical under DP."""
+        n_dev = lax.psum(1, axis_name) if axis_name else 1
+        adj = jnp.sign(rt - jnp.float32(cfg.aug.target)) * (
+            jnp.float32(batch * n_dev) / jnp.float32(cfg.aug.kimg * 1000.0))
+        return jnp.clip(state.ada_p + adj, 0.0, jnp.float32(cfg.aug.p_max))
+
     def derive_keys(state, n):
         """Per-device sampling keys + the replicated next key.
 
@@ -259,14 +286,15 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
 
     def assemble(state, *, params_g, params_d, ema, opt_g_state, opt_d_state,
                  w_avg, next_rng, batch, alpha, aux, g_loss,
-                 pl_mean=None, pl_penalty=0.0):
+                 pl_mean=None, pl_penalty=0.0, ada_p=None, ada_rt=0.0):
         n_dev = lax.psum(1, axis_name) if axis_name else 1
         new_state = state.replace(
             params_g=params_g, params_d=params_d, params_ema=ema,
             opt_g=opt_g_state, opt_d=opt_d_state, w_avg=w_avg,
             rng=next_rng, step=state.step + 1,
             shown_imgs=state.shown_imgs + jnp.float32(batch * n_dev),
-            pl_mean=state.pl_mean if pl_mean is None else pl_mean)
+            pl_mean=state.pl_mean if pl_mean is None else pl_mean,
+            ada_p=state.ada_p if ada_p is None else ada_p)
         metrics = {
             "d_loss": pmean(aux["d_loss"]),
             "g_loss": pmean(g_loss),
@@ -279,6 +307,11 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             # Only PL configs carry the extra metric: non-PL programs keep
             # the exact verified output arity (see TrainState.pl_mean).
             metrics["pl_penalty"] = pmean(jnp.float32(pl_penalty))
+        if ada_active:
+            # Same arity discipline; both values are already replicated
+            # (ada_p is updated from a pmean'd heuristic).
+            metrics["aug_p"] = new_state.ada_p
+            metrics["aug_rt"] = jnp.float32(ada_rt)
         return new_state, metrics
 
     def update_w_avg(w_avg, w_mean):
@@ -297,20 +330,24 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         # HBM capacity and even no-op graph additions can flip XLA's
         # memory plan over the edge (measured: +270 MB from carrying an
         # unused 7th key).
-        if pl_active:
-            (k_flip, k_zd, k_nd, k_gp, k_zg, k_ng, k_pl), next_rng = \
-                derive_keys(state, 7)
-        else:
-            (k_flip, k_zd, k_nd, k_gp, k_zg, k_ng), next_rng = \
-                derive_keys(state, 6)
-            k_pl = None
+        n_base = 7 if pl_active else 6
+        keys, next_rng = derive_keys(state,
+                                     n_base + (3 if aug_active else 0))
+        k_flip, k_zd, k_nd, k_gp, k_zg, k_ng = keys[:6]
+        k_pl = keys[6] if pl_active else None
         real = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
+        p_aug = aug_p_of(state)
 
         # ------------------------------------------------------------------
         # D step
         # ------------------------------------------------------------------
         fake_d, _ = gen_forward(state.params_g, k_zd, k_nd, alpha, batch)
         fake_d = lax.stop_gradient(fake_d)
+        if aug_active:
+            # D only ever sees augmented images (ADA): reals and fakes,
+            # in the loss AND the penalty.
+            real = maybe_aug(real, keys[n_base], p_aug)
+            fake_d = maybe_aug(fake_d, keys[n_base + 1], p_aug)
 
         def d_objective(params_d):
             real_s = d_apply(params_d, real, alpha)
@@ -321,6 +358,8 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             aux = {"d_loss": loss, "penalty": penalty,
                    "real_score": jnp.mean(real_s),
                    "fake_score": jnp.mean(fake_s)}
+            if ada_active:
+                aux["rt"] = jnp.mean(jnp.sign(real_s))
             return loss + penalty, aux
 
         (_, d_aux), d_grads = jax.value_and_grad(
@@ -329,6 +368,11 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         d_updates, new_opt_d = opt_d.update(d_grads, state.opt_d,
                                             state.params_d)
         new_params_d = optax.apply_updates(state.params_d, d_updates)
+        if ada_active:
+            ada_rt = pmean(d_aux.pop("rt"))
+            new_ada_p = ada_update(state, ada_rt, batch)
+        else:
+            ada_rt, new_ada_p = 0.0, None
 
         # ------------------------------------------------------------------
         # G step (against the updated D, like the reference). With
@@ -338,6 +382,9 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         # ------------------------------------------------------------------
         def g_objective(params_g):
             fake, w_mean = gen_forward(params_g, k_zg, k_ng, alpha, batch)
+            if aug_active:
+                # Gradients flow through the augmentation into G.
+                fake = maybe_aug(fake, keys[n_base + 2], p_aug)
             fake_s = d_apply(new_params_d, fake, alpha)
             g_loss = g_loss_fn_base(fake_s)
             if not with_pl:
@@ -383,7 +430,7 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                         opt_d_state=new_opt_d, w_avg=new_w_avg,
                         next_rng=next_rng, batch=batch, alpha=alpha,
                         aux=d_aux, g_loss=g_loss, pl_mean=new_pl,
-                        pl_penalty=pl_pen)
+                        pl_penalty=pl_pen, ada_p=new_ada_p, ada_rt=ada_rt)
 
     def step_fused(state: TrainState, real_u8) -> tuple[TrainState, dict]:
         """Fused simultaneous update (loss.fused_g_step): ONE backward pass
@@ -396,16 +443,25 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         batch = real_u8.shape[0]
         alpha = alpha_of(state.shown_imgs)
         # Key layout unchanged when PL is off — see step()'s comment.
-        if pl_active:
-            (k_flip, k_z, k_n, k_gp, k_pl), next_rng = derive_keys(state, 5)
-        else:
-            (k_flip, k_z, k_n, k_gp), next_rng = derive_keys(state, 4)
-            k_pl = None
-        real = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
+        n_base = 5 if pl_active else 4
+        keys, next_rng = derive_keys(state,
+                                     n_base + (2 if aug_active else 0))
+        k_flip, k_z, k_n, k_gp = keys[:4]
+        k_pl = keys[4] if pl_active else None
+        real_in = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
+        p_aug = aug_p_of(state)
 
         def objective(params):
             params_d, params_g = params
             fake, w_mean = gen_forward(params_g, k_z, k_n, alpha, batch)
+            if aug_active:
+                # ONE augmentation draw per batch, shared between the D
+                # and G losses (stop-gradient placement differs, primal
+                # values are identical, so XLA still CSEs the D forward).
+                real = maybe_aug(real_in, keys[n_base], p_aug)
+                fake = maybe_aug(fake, keys[n_base + 1], p_aug)
+            else:
+                real = real_in
             fake_sg = lax.stop_gradient(fake)
             real_s = d_apply(params_d, real, alpha)
             fake_s = d_apply(params_d, fake_sg, alpha)
@@ -424,10 +480,17 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                    "real_score": jnp.mean(real_s),
                    "fake_score": jnp.mean(fake_s), "w_mean": w_mean,
                    "pl_pen": pl_pen, "pl_mean": new_pl}
+            if ada_active:
+                aux["rt"] = jnp.mean(jnp.sign(real_s))
             return d_loss + penalty + g_loss + pl_pen, aux
 
         (_, aux), (d_grads, g_grads) = jax.value_and_grad(
             objective, has_aux=True)((state.params_d, state.params_g))
+        if ada_active:
+            ada_rt = pmean(aux.pop("rt"))
+            new_ada_p = ada_update(state, ada_rt, batch)
+        else:
+            ada_rt, new_ada_p = 0.0, None
         d_grads = pmean(d_grads)
         g_grads = pmean(g_grads)
         d_updates, new_opt_d = opt_d.update(d_grads, state.opt_d,
@@ -445,7 +508,8 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                         opt_d_state=new_opt_d, w_avg=new_w_avg,
                         next_rng=next_rng, batch=batch, alpha=alpha,
                         aux=aux, g_loss=aux["g_loss"],
-                        pl_mean=aux["pl_mean"], pl_penalty=aux["pl_pen"])
+                        pl_mean=aux["pl_mean"], pl_penalty=aux["pl_pen"],
+                        ada_p=new_ada_p, ada_rt=ada_rt)
 
     if lc.fused_g_step:
         assert lc.d_steps_per_g == 1, \

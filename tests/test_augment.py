@@ -1,0 +1,272 @@
+"""ADA discriminator augmentation (ops/augment.py + the aug.* config):
+transform math against hand-built params, adaptation dynamics in both
+step variants, DP replica identity of ada_p, chunked-path agreement, and
+checkpoint migration of the optional leaf."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ganlab_tpu.config import get_config
+from ganlab_tpu.ops.augment import (
+    AugParams,
+    apply_augment,
+    augment,
+    sample_params,
+)
+from ganlab_tpu.train.schedule import build_phases
+from ganlab_tpu.train.state import create_train_state
+from ganlab_tpu.train.steps import build_train_step
+
+
+def _imgs(b=4, res=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(-1, 1, (b, res, res, 3)), jnp.float32)
+
+
+def _identity_params(b, res):
+    return AugParams(
+        flip=jnp.zeros((b,), bool),
+        rot_k=jnp.zeros((b,), jnp.int32),
+        trans=jnp.zeros((b, 2), jnp.int32),
+        color_mat=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                   (b, 3, 3)),
+        color_bias=jnp.zeros((b, 3), jnp.float32),
+    )
+
+
+class TestAugmentMath:
+    def test_p_zero_is_identity(self):
+        x = _imgs()
+        y = augment(x, 0.0, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_deterministic_per_key(self):
+        x = _imgs()
+        k = jax.random.PRNGKey(7)
+        np.testing.assert_array_equal(np.asarray(augment(x, 0.8, k)),
+                                      np.asarray(augment(x, 0.8, k)))
+        assert not np.allclose(np.asarray(augment(x, 0.8, k)),
+                               np.asarray(augment(x, 0.8,
+                                                  jax.random.PRNGKey(8))))
+
+    def test_xflip_exact(self):
+        x = _imgs()
+        p = _identity_params(4, 16)._replace(flip=jnp.ones((4,), bool))
+        np.testing.assert_allclose(np.asarray(apply_augment(x, p)),
+                                   np.asarray(x[:, :, ::-1, :]), atol=1e-6)
+
+    def test_rot180_exact(self):
+        x = _imgs()
+        p = _identity_params(4, 16)._replace(
+            rot_k=jnp.full((4,), 2, jnp.int32))
+        np.testing.assert_allclose(np.asarray(apply_augment(x, p)),
+                                   np.asarray(x[:, ::-1, ::-1, :]),
+                                   atol=1e-6)
+
+    def test_rot90_is_quarter_turn_bijection(self):
+        x = _imgs()
+        for k in (1, 3):
+            p = _identity_params(4, 16)._replace(
+                rot_k=jnp.full((4,), k, jnp.int32))
+            y = np.asarray(apply_augment(x, p))
+            # every pixel value preserved exactly (pure permutation)
+            np.testing.assert_allclose(np.sort(y.ravel()),
+                                       np.sort(np.asarray(x).ravel()),
+                                       atol=0)
+            assert not np.allclose(y, np.asarray(x))
+
+    def test_translation_reflect_pads(self):
+        x = _imgs(b=1, res=8)
+        p = _identity_params(1, 8)._replace(
+            trans=jnp.asarray([[2, 0]], jnp.int32))  # shift down 2
+        y = np.asarray(apply_augment(x, p))[0]
+        xs = np.asarray(x)[0]
+        np.testing.assert_allclose(y[2:], xs[:-2], atol=1e-6)
+        np.testing.assert_allclose(y[0], xs[1], atol=1e-6)  # reflected
+        np.testing.assert_allclose(y[1], xs[0], atol=1e-6)
+
+    def test_luma_flip_is_involution_and_preserves_gray(self):
+        x = _imgs()
+        v = np.ones(3) / np.sqrt(3)
+        L = np.eye(3) - 2 * np.outer(v, v)
+        p = _identity_params(4, 16)._replace(
+            color_mat=jnp.broadcast_to(jnp.asarray(L, jnp.float32),
+                                       (4, 3, 3)))
+        y = apply_augment(x, p)
+        z = apply_augment(y, p)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-5)
+        gray = jnp.broadcast_to(jnp.float32(0.3), (1, 4, 4, 3))
+        p1 = _identity_params(1, 4)._replace(
+            color_mat=jnp.asarray(L, jnp.float32)[None])
+        # gray is on the luma axis: flipping luma negates it
+        np.testing.assert_allclose(np.asarray(apply_augment(gray, p1)),
+                                   -np.asarray(gray), atol=1e-5)
+
+    def test_gradients_flow(self):
+        x = _imgs()
+        g = jax.grad(
+            lambda x: jnp.sum(augment(x, 0.9, jax.random.PRNGKey(3)) ** 2)
+        )(x)
+        g = np.asarray(g)
+        assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+    def test_sampled_params_respect_categories(self):
+        k = jax.random.PRNGKey(0)
+        pb = sample_params(k, 64, 16, 1.0, categories="b")
+        assert np.asarray(pb.flip).any()
+        np.testing.assert_allclose(np.asarray(pb.color_mat),
+                                   np.broadcast_to(np.eye(3), (64, 3, 3)))
+        pc = sample_params(k, 64, 16, 1.0, categories="c")
+        assert not np.asarray(pc.flip).any()
+        assert not np.asarray(pc.trans).any()
+        assert (np.abs(np.asarray(pc.color_mat)
+                       - np.eye(3)).sum(axis=(1, 2)) > 1e-3).any()
+
+    def test_values_bounded_blit(self):
+        # blit-only transforms permute pixels: range preserved exactly
+        x = _imgs()
+        y = np.asarray(augment(x, 1.0, jax.random.PRNGKey(5),
+                               categories="b"))
+        assert y.min() >= -1.0 - 1e-6 and y.max() <= 1.0 + 1e-6
+
+
+def _ada_cfg(fused, **over):
+    base = {
+        "model.resolution": 16, "model.fmap_base": 128,
+        "model.latent_dim": 16, "model.mapping_layers": 2,
+        "schedule.progressive": False, "schedule.start_res": 16,
+        "schedule.batch_schedule": {16: 4},
+        "aug.mode": "ada", "aug.kimg": 0.5, "aug.target": -2.0,
+        "loss.fused_g_step": fused, "loss.penalty_every": 4,
+        "run.compute_dtype": "float32",
+    }
+    base.update(over)
+    return get_config("stylegan-256", **base)
+
+
+class TestAdaAdaptation:
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_p_rises_at_documented_rate(self, fused):
+        """target=-2 < rt always, so p must rise by batch/(kimg*1000)
+        per step, in BOTH step variants."""
+        cfg = _ada_cfg(fused)
+        phase = build_phases(cfg.schedule, cfg.model)[0]
+        st = create_train_state(cfg, jax.random.PRNGKey(0))
+        assert st.ada_p is not None and float(st.ada_p) == 0.0
+        on = jax.jit(build_train_step(cfg, phase, penalty_override=True))
+        off = jax.jit(build_train_step(cfg, phase, penalty_override=False))
+        batch = np.random.default_rng(0).integers(
+            0, 255, (4, 16, 16, 3), dtype=np.uint8)
+        st, m = on(st, batch)
+        for _ in range(5):
+            st, m = off(st, batch)
+        assert abs(float(st.ada_p) - 6 * 4 / 500.0) < 1e-5
+        assert abs(float(m["aug_p"]) - float(st.ada_p)) < 1e-7
+        assert float(m["aug_rt"]) >= -1.0
+
+    def test_p_clips_at_zero_and_pmax(self):
+        cfg = _ada_cfg(True, **{"aug.target": 2.0})  # rt < target always
+        phase = build_phases(cfg.schedule, cfg.model)[0]
+        st = create_train_state(cfg, jax.random.PRNGKey(0))
+        off = jax.jit(build_train_step(cfg, phase, penalty_override=False))
+        batch = np.random.default_rng(0).integers(
+            0, 255, (4, 16, 16, 3), dtype=np.uint8)
+        st, _ = off(st, batch)
+        assert float(st.ada_p) == 0.0  # clipped below
+        cfg2 = _ada_cfg(True, **{"aug.p_init": 0.8})  # p_max default 0.8
+        st2 = create_train_state(cfg2, jax.random.PRNGKey(0))
+        off2 = jax.jit(build_train_step(cfg2, phase,
+                                        penalty_override=False))
+        st2, _ = off2(st2, batch)
+        assert float(st2.ada_p) <= 0.8 + 1e-6  # f32 round of p_max
+
+    def test_fixed_mode_has_no_state_leaf(self):
+        cfg = _ada_cfg(True, **{"aug.mode": "fixed", "aug.p_init": 0.3})
+        st = create_train_state(cfg, jax.random.PRNGKey(0))
+        assert st.ada_p is None
+        phase = build_phases(cfg.schedule, cfg.model)[0]
+        step = jax.jit(build_train_step(cfg, phase,
+                                        penalty_override=False))
+        batch = np.random.default_rng(0).integers(
+            0, 255, (4, 16, 16, 3), dtype=np.uint8)
+        st, m = step(st, batch)
+        assert st.ada_p is None and "aug_p" not in m
+
+    def test_dp_replica_identity(self):
+        """ada_p must advance identically on all devices (it derives from
+        the pmean'd heuristic only)."""
+        from ganlab_tpu.parallel import (
+            make_mesh, make_parallel_step, replicate, shard_batch)
+
+        cfg = _ada_cfg(True)
+        phase = build_phases(cfg.schedule, cfg.model)[0]
+        mesh = make_mesh()
+        n = mesh.devices.size
+        st = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+        step = make_parallel_step(
+            build_train_step(cfg, phase, axis_name="data",
+                             penalty_override=False), mesh)
+        batch = shard_batch(np.random.default_rng(0).integers(
+            0, 255, (4 * n, 16, 16, 3), dtype=np.uint8), mesh)
+        for _ in range(3):
+            st, m = step(st, batch)
+        shards = [np.asarray(s.data) for s in st.ada_p.addressable_shards]
+        assert all(np.array_equal(shards[0], s) for s in shards[1:])
+        assert abs(float(shards[0]) - 3 * 4 * n / 500.0) < 1e-5
+
+    @pytest.mark.slow
+    def test_chunked_matches_singles_ada_p(self):
+        """The scan-chunked path must advance ada_p exactly like the
+        single-step dispatcher (same per-step math, rng chain)."""
+        from ganlab_tpu.parallel import make_single_step
+        from ganlab_tpu.train.steps import (
+            make_chunked_stepper, make_lazy_stepper)
+
+        cfg = _ada_cfg(True)
+        phase = build_phases(cfg.schedule, cfg.model)[0]
+        stack = np.random.default_rng(0).integers(
+            0, 255, (8, 4, 16, 16, 3), dtype=np.uint8)
+
+        st_a = create_train_state(cfg, jax.random.PRNGKey(0))
+        single = make_lazy_stepper(cfg, phase, make_single_step)
+        for i in range(8):
+            st_a, _ = single(st_a, jnp.asarray(stack[i]))
+
+        st_b = create_train_state(cfg, jax.random.PRNGKey(0))
+        chunked, k = make_chunked_stepper(
+            cfg, phase, make_single_step, make_single_step)
+        st_b, _ = chunked(st_b, jnp.asarray(stack[:k]))
+        st_b, _ = chunked(st_b, jnp.asarray(stack[k:2 * k]))
+
+        assert abs(float(st_a.ada_p) - float(st_b.ada_p)) < 1e-6
+        assert float(st_a.ada_p) > 0.0
+
+
+class TestAdaCheckpoint:
+    def test_roundtrip_and_migration(self, tmp_path):
+        from ganlab_tpu.train.checkpoint import CheckpointManager
+
+        cfg = _ada_cfg(True, **{"aug.p_init": 0.25})
+        st = create_train_state(cfg, jax.random.PRNGKey(0))
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(1, st)
+        mgr.wait()
+        # same-config roundtrip
+        back = mgr.restore(create_train_state(cfg, jax.random.PRNGKey(1)))
+        assert abs(float(back.ada_p) - 0.25) < 1e-7
+        # ada checkpoint -> non-ada config: leaf dropped
+        cfg_off = _ada_cfg(True, **{"aug.mode": "off"})
+        st_off = create_train_state(cfg_off, jax.random.PRNGKey(1))
+        assert st_off.ada_p is None
+        back_off = mgr.restore(st_off)
+        assert back_off is not None and back_off.ada_p is None
+        mgr.close()
+        # non-ada checkpoint -> ada config: template value backfilled
+        mgr2 = CheckpointManager(str(tmp_path / "ck2"))
+        mgr2.save(1, st_off)
+        mgr2.wait()
+        back_on = mgr2.restore(create_train_state(cfg, jax.random.PRNGKey(2)))
+        assert back_on is not None and abs(float(back_on.ada_p) - 0.25) < 1e-7
+        mgr2.close()
