@@ -44,6 +44,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 RECIPES = {
     "parity": {"loss.penalty_every": 1, "loss.fused_g_step": False},
     "fast": {"loss.penalty_every": 16, "loss.fused_g_step": True},
+    # Isolation arms: the fast recipe is TWO deviations; these attribute
+    # an observed FID delta to one of them (--recipes lazy16,fused).
+    "lazy16": {"loss.penalty_every": 16, "loss.fused_g_step": False},
+    "fused": {"loss.penalty_every": 1, "loss.fused_g_step": True},
 }
 
 
@@ -60,8 +64,12 @@ def main():
     ap.add_argument("--workdir", default="ab_runs")
     ap.add_argument("--seeds", default="0,1",
                     help="comma-separated run seeds (>=2 for spread)")
+    ap.add_argument("--recipes", default="parity,fast",
+                    help="comma-separated recipe arms to run "
+                         f"(available: {','.join(RECIPES)})")
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",") if s != ""]
+    recipes = {n: RECIPES[n] for n in args.recipes.split(",") if n}
 
     import jax
 
@@ -94,7 +102,7 @@ def main():
         print(f"# resuming: {sorted(results)} already scored", flush=True)
 
     for seed in seeds:
-        for name, recipe in RECIPES.items():
+        for name, recipe in recipes.items():
             tag = f"s{seed}_{name}"
             if tag in results:
                 continue
@@ -174,31 +182,39 @@ def main():
             print(json.dumps({tag: {k: row[k] for k in extractors}}),
                   flush=True)
 
-    # Aggregate: fast-vs-parity relative FID delta per extractor, per seed.
-    summary = {"metric": "recipe A/B FID (fast vs parity)",
+    # Aggregate: each non-parity arm's relative FID delta vs parity, per
+    # extractor, per seed (only over arms whose runs exist in results).
+    arms = sorted({t.split("_", 1)[1] for t in results} - {"parity"})
+    summary = {"metric": "recipe A/B FID vs parity",
                "res": args.res, "kimg": args.kimg, "batch": args.batch,
                "samples": args.samples, "eval_fracs": args.eval_fracs,
                "scoring": "mean FID/KID over the eval-frac checkpoints",
                "pretrained_weights": bool(
                    os.environ.get("GANLAB_INCEPTION_WEIGHTS")),
-               "seeds": seeds, "per_extractor": {}}
+               "seeds": seeds, "arms": arms, "per_extractor": {}}
     for ename in extractors:
-        rels, rows = [], {}
-        for seed in seeds:
-            p = results[f"s{seed}_parity"][ename]
-            f_ = results[f"s{seed}_fast"][ename]
-            rel = (f_["fid"] - p["fid"]) / max(p["fid"], 1e-9)
-            rels.append(rel)
-            rows[f"seed{seed}"] = {"parity": p, "fast": f_,
-                                   "fid_rel": round(rel, 4)}
-        seed_spread = max(abs(r) for r in rels)
-        mean_rel = sum(rels) / len(rels)
-        summary["per_extractor"][ename] = {
-            **rows,
-            "mean_fid_rel": round(mean_rel, 4),
-            "max_abs_fid_rel": round(seed_spread, 4),
-            "neutral_within_5pct": bool(abs(mean_rel) <= 0.05),
-        }
+        per_arm = {}
+        for arm in arms:
+            rels, rows = [], {}
+            for seed in seeds:
+                pk, ak = f"s{seed}_parity", f"s{seed}_{arm}"
+                if pk not in results or ak not in results:
+                    continue
+                p, a = results[pk][ename], results[ak][ename]
+                rel = (a["fid"] - p["fid"]) / max(p["fid"], 1e-9)
+                rels.append(rel)
+                rows[f"seed{seed}"] = {"parity": p, arm: a,
+                                       "fid_rel": round(rel, 4)}
+            if not rels:
+                continue
+            mean_rel = sum(rels) / len(rels)
+            per_arm[arm] = {
+                **rows,
+                "mean_fid_rel": round(mean_rel, 4),
+                "max_abs_fid_rel": round(max(abs(r) for r in rels), 4),
+                "neutral_within_5pct": bool(abs(mean_rel) <= 0.05),
+            }
+        summary["per_extractor"][ename] = per_arm
     with open(os.path.join(args.workdir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))

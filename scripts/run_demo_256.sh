@@ -3,6 +3,9 @@
 # progressive 8->256 path — per-phase recompiles, chunked stepping, fade
 # alphas traced, truncated EMA sampling — on the structured synthetic
 # distribution, shortened schedule (48 kimg per phase, 11 phases, 528 kimg).
+# Data: the procedural 'ellipses' source — resolution-independent, its
+# effectively-infinite pool avoids the D-memorization confound measured on
+# the 256-image synthetic pool (BASELINE.md recipe A/B) over a 528-kimg run.
 #
 # The tunneled TPU relay sometimes wedges on large compiles (CLAUDE.md);
 # each attempt is bounded and the CLI resumes from the latest checkpoint in
@@ -14,7 +17,7 @@ mkdir -p "$WORKDIR"
 for attempt in 1 2 3 4 5 6; do
   echo "=== demo attempt $attempt $(date -u +%H:%M:%S) ===" | tee -a "$WORKDIR/driver.log"
   timeout 2400 python -m ganlab_tpu.cli train --preset stylegan-256 \
-    --set data.dataset=synthetic \
+    --set data.dataset=ellipses \
     --set schedule.fade_kimg=48 --set schedule.stabilize_kimg=48 \
     --set run.sample_every=2000 --set run.checkpoint_every=4000 \
     --set run.log_every=500 \
