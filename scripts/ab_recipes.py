@@ -48,6 +48,11 @@ RECIPES = {
     # an observed FID delta to one of them (--recipes lazy16,fused).
     "lazy16": {"loss.penalty_every": 16, "loss.fused_g_step": False},
     "fused": {"loss.penalty_every": 1, "loss.fused_g_step": True},
+    # ADA measurement arm (vs parity, on a SMALL pool via --num-images):
+    # quantifies the augmentation extension's effect in the D-overfitting
+    # regime it was built for.
+    "ada": {"loss.penalty_every": 1, "loss.fused_g_step": False,
+            "aug.mode": "ada", "aug.p_init": 0.0},
 }
 
 
@@ -60,6 +65,9 @@ def main():
                     help="checkpoint fractions of --kimg scored and averaged")
     ap.add_argument("--dataset", default="synthetic")
     ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--num-images", type=int, default=None,
+                    help="pool size for the procedural sources (small = "
+                         "the D-overfitting regime; see DataConfig)")
     ap.add_argument("--samples", type=int, default=2048)
     ap.add_argument("--workdir", default="ab_runs")
     ap.add_argument("--seeds", default="0,1",
@@ -124,6 +132,8 @@ def main():
             }
             if args.data_dir:
                 over["data.data_dir"] = args.data_dir
+            if args.num_images is not None:
+                over["data.num_images"] = args.num_images
             cfg = get_config("stylegan-256", **over)
             wd = os.path.join(args.workdir, tag)
             os.makedirs(wd, exist_ok=True)
@@ -150,10 +160,18 @@ def main():
                     score_step = min(tr.ckpt.steps(),
                                      key=lambda s: abs(s - t))
                     point = {"step": score_step}
+                    # Real features come from the FULL underlying
+                    # distribution even when training on a --num-images
+                    # pool: pool-restricted runs (the ADA experiment)
+                    # are judged on generalization, not pool recall —
+                    # memorizing the pool must not score well.
+                    import dataclasses as _dc
+
+                    eval_data = _dc.replace(cfg.data, num_images=None)
                     for ename, extractor in extractors.items():
                         real, fake = _collect_features(
                             cfg, wd, args.samples, extractor,
-                            make_source(cfg.data, args.res, seed=seed + 99),
+                            make_source(eval_data, args.res, seed=seed + 99),
                             batch=64, step=score_step)
                         point[ename] = {
                             "fid": round(compute_fid(real, fake), 4),
