@@ -147,7 +147,8 @@ def _ada_cfg(fused, **over):
 
 
 class TestAdaAdaptation:
-    @pytest.mark.parametrize("fused", [False, True])
+    @pytest.mark.parametrize(
+        "fused", [False, pytest.param(True, marks=pytest.mark.slow)])
     def test_p_rises_at_documented_rate(self, fused):
         """target=-2 < rt always, so p must rise by batch/(kimg*1000)
         per step, in BOTH step variants."""

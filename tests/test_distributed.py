@@ -215,6 +215,7 @@ def test_fused_step_under_shard_map(mesh):
                                rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_ema_kimg_device_count_invariant(mesh):
     """VERDICT r2 #4: with optim.ema_kimg set, the G-EMA horizon must be a
     function of the GLOBAL batch only — an 8-device DP run at 2/device and

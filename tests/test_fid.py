@@ -58,6 +58,7 @@ class TestRandomConvExtractor:
 
 
 class TestInceptionPort:
+    @pytest.mark.slow
     def test_pool3_shape_and_determinism(self):
         from ganlab_tpu.eval.inception import (
             init_inception_params,
@@ -238,6 +239,7 @@ class TestPrecisionRecall:
         assert p < 0.1
 
 
+@pytest.mark.slow
 def test_inception_extractor_batched_consistency():
     """The batched extractor equals a single-shot pool3 call."""
     import jax.numpy as jnp

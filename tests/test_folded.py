@@ -117,6 +117,7 @@ class TestFoldedModels:
     unfolded shape and folded)."""
 
     @pytest.mark.parametrize("model", ["progan", "stylegan"])
+    @pytest.mark.slow
     def test_generator_matches(self, model):
         cfg_f, cfg_p = _cfgs(model)
         assert any(cfg_f.fold_block(lg) for lg in range(3, 6))
@@ -135,6 +136,7 @@ class TestFoldedModels:
                                        rtol=2e-4, atol=2e-4)
 
     @pytest.mark.parametrize("model", ["progan", "stylegan"])
+    @pytest.mark.slow
     def test_discriminator_matches(self, model):
         cfg_f, cfg_p = _cfgs(model)
         _, d_f = build_models(cfg_f)

@@ -61,6 +61,7 @@ class TestFusedUpConv:
     pytree, same outputs (fade-in phases included), for both G families."""
 
     @pytest.mark.parametrize("model", ["progan", "stylegan"])
+    @pytest.mark.slow
     def test_generator_matches_unfused(self, model):
         kw = dict(model=model, resolution=32, latent_dim=16,
                   fmap_base=128, fmap_max=16, mapping_layers=2)

@@ -88,7 +88,8 @@ def test_trainer_progressive_phase_transition(tmp_path):
         tr.close()
 
 
-@pytest.mark.parametrize("reset", [False, True])
+@pytest.mark.parametrize(
+    "reset", [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_progressive_with_optimizer_reset(tmp_path, reset):
     """Both optimizer-moment policies train through a phase transition
     (optim.reset_moments_on_phase; the reference rebuilds optimizers on
