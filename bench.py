@@ -39,7 +39,7 @@ import sys
 import time
 
 V100_BASELINE_IMG_PER_SEC = 40.0
-BATCH_PER_DEVICE = 16        # fused-step sweet spot (BASELINE.md sweep)
+BATCH_PER_DEVICE = 16        # sweet spot (BASELINE.md sweeps r1+r3)
 TIMED_STEPS = 32             # 2 full lazy-R1 intervals (k=16)
 
 CACHE_PATH = "bench_cache.json"
@@ -96,7 +96,9 @@ def measure() -> dict:
     from ganlab_tpu.train.steps import make_chunked_stepper
     from ganlab_tpu.parallel import make_single_step
 
-    # The preset's recommended recipe: lazy R1 (k=16), fused G/D, bf16,
+    # The preset's recommended recipe (r3): lazy R1 (k=16) with the
+    # official Adam compensation, SEQUENTIAL G/D updates (the fused
+    # variant measured FID-destabilizing — BASELINE.md recipe A/B), bf16,
     # scan-chunked stepping (2 host dispatches per 16-step cycle).
     batch, steps = BATCH_PER_DEVICE, TIMED_STEPS
     smoke = os.environ.get("GANLAB_BENCH_SMOKE")

@@ -362,19 +362,25 @@ def _preset_progan128() -> Config:
 def _preset_stylegan256() -> Config:
     """BASELINE.json config 4: StyleGAN 256^2 CelebA-HQ (the judged bench).
 
-    The recommended recipe (set loss.penalty_every=1 and
-    loss.fused_g_step=False for strict reference parity):
-    * lazy R1 every 16 steps, weight x16 (StyleGAN2 sec. 5.1 —
-      quality-neutral, skips the double-backward 15/16 of the time);
-    * fused simultaneous G/D updates (one backward; G sees pre-update D,
-      the official TF StyleGAN semantics). Measured on one v5e chip:
-      107.8 -> 173.1 img/s vs the eager sequential baseline (BASELINE.md).
+    The recommended recipe (set loss.penalty_every=1 for strict
+    reference parity):
+    * lazy R1 every 16 steps, weight x16, with the official k/(k+1)
+      Adam compensation (StyleGAN2 sec. 5.1; optim.lazy_adjust) —
+      measured FID-neutral-within-noise in the round-3 recipe A/B
+      (BASELINE.md), skips the double-backward 15/16 of the time;
+    * fused_g_step is OFF as of round 3: the fused simultaneous update
+      bought ~+13% throughput but MEASURABLY destabilized FID on both
+      A/B seeds (late-run spikes to 15-26 vs parity's 3-4 on the
+      ellipses benchmark; BASELINE.md isolation table). Quality is half
+      the judged metric, so the default recipe takes the honest
+      sequential update; `--set loss.fused_g_step=true` restores the
+      throughput recipe for raw-speed runs.
     """
     return Config(
         model=ModelConfig(model="stylegan", resolution=256),
         loss=LossConfig(loss="nonsaturating", penalty="r1",
                         penalty_weight=10.0, drift_weight=0.0,
-                        penalty_every=16, fused_g_step=True),
+                        penalty_every=16, fused_g_step=False),
         # G-EMA horizon in kimg (official half-life 10k imgs): the judged
         # FID is computed from the EMA generator, and a per-step ema_beta
         # would shrink the horizon x N_devices under DP (VERDICT r2 #4).
@@ -394,7 +400,9 @@ def _preset_stylegan2_256() -> Config:
         model=ModelConfig(model="stylegan2", resolution=256, d_resnet=True),
         loss=LossConfig(loss="nonsaturating", penalty="r1",
                         penalty_weight=10.0, drift_weight=0.0,
-                        penalty_every=16, fused_g_step=True,
+                        # sequential update as of r3 (fused destabilizes
+                        # FID — see _preset_stylegan256 / BASELINE.md)
+                        penalty_every=16, fused_g_step=False,
                         pl_weight=2.0, pl_every=4),
         optim=OptimConfig(ema_kimg=10.0),  # device-count-invariant G-EMA
         schedule=ScheduleConfig(progressive=False),
