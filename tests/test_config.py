@@ -54,3 +54,18 @@ def test_all_presets_construct():
         assert cfg.model.resolution >= 32
         # batch schedule covers the final resolution or falls back.
         assert cfg.schedule.batch_for(cfg.model.resolution) >= 1
+
+
+def test_judged_preset_recipe_is_the_ab_validated_one():
+    """Round-3 recipe A/B (BASELINE.md): lazy R1 k=16 with the Adam
+    compensation is FID-neutral-within-noise; the fused simultaneous
+    update measurably destabilizes FID. Pin the shipped defaults so a
+    perf-motivated edit can't silently reintroduce the fused recipe or
+    drop the compensation."""
+    for preset in ("stylegan-256", "stylegan2-256"):
+        cfg = get_config(preset)
+        assert cfg.loss.penalty_every == 16, preset
+        assert cfg.loss.fused_g_step is False, preset
+        assert cfg.optim.lazy_adjust is True, preset
+        # device-count-invariant G-EMA horizon (VERDICT r2 #4)
+        assert cfg.optim.ema_kimg == 10.0, preset
