@@ -99,6 +99,20 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
+    # Persistent compile cache (opt out with GANLAB_COMPILE_CACHE=""):
+    # re-runs and crash-resumed runs skip recompiling every per-phase
+    # program — which on a flaky remote-compile link is the difference
+    # between a free retry and minutes per attempt.
+    import os as _os
+
+    cache_dir = _os.environ.get("GANLAB_COMPILE_CACHE",
+                                "/tmp/ganlab_jax_cache")
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from ganlab_tpu.config import apply_overrides, get_config, load_config
 
     if getattr(args, "config", None):
