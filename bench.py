@@ -259,6 +259,14 @@ def main() -> None:
             cache_row = dict(prev)
             cache_row["latest_value"] = row["value"]
             cache_row["latest_at"] = now
+            # Disclose the ratchet in the live row too: if this capture
+            # caught the relay's degraded mode, the best healthy-window
+            # measurement of the SAME program is part of the result.
+            row["best_known_healthy"] = {
+                "value": prev.get("value"),
+                "windows_img_s": prev.get("windows_img_s"),
+                "measured_at": prev.get("measured_at"),
+            }
         with open(CACHE_PATH, "w") as f:
             json.dump(cache_row, f)
     except OSError:
