@@ -82,6 +82,11 @@ def measure() -> dict:
     import jax
     import numpy as np
 
+    if os.environ.get("GANLAB_BENCH_SMOKE"):
+        # Smoke mode is a hermetic CI path — never touch the TPU relay
+        # (a wedged relay would hang the smoke run forever).
+        jax.config.update("jax_platforms", "cpu")
+
     # Persistent compile cache: the 256^2 train-step compile through this
     # container's remote-compile relay is minutes; cache it across runs.
     jax.config.update("jax_compilation_cache_dir", "/tmp/ganlab_jax_cache")
@@ -219,9 +224,29 @@ def main() -> None:
         print(f"# attempt {i + 1}: looks relay-degraded; retrying in a "
               "fresh process", file=sys.stderr, flush=True)
     if best is None:
-        # All children failed — fall back to an in-process measurement.
-        best = measure()
-        attempts.append(best)
+        # All children failed (relay wedged hard). Do NOT measure
+        # in-process: a wedged relay blocks inside a C call where the
+        # SIGALRM watchdog handler cannot run, which would hang the
+        # driver past its own watchdog. The parent stays pure-Python
+        # (subprocess timeouts + sleeps, all interruptible) and serves
+        # the ratcheted cache — clearly marked — or a zero row.
+        try:
+            with open(CACHE_PATH) as f:
+                row = json.load(f)
+            row["note"] = ("cached result from a previous run; every live "
+                           "child this run failed (relay wedged)")
+            row["attempts"] = [a.get("median", a.get("error"))
+                               for a in attempts]
+            print(json.dumps(row))
+        except OSError:
+            print(json.dumps({
+                "metric": "StyleGAN 256^2 training throughput",
+                "value": 0.0, "unit": "images/sec/chip",
+                "vs_baseline": 0.0,
+                "attempts": [a.get("median", a.get("error"))
+                             for a in attempts],
+                "note": "all live children failed and no cache exists"}))
+        return
 
     value = best["median"]
     row = {

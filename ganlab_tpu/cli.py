@@ -149,7 +149,8 @@ def main(argv=None) -> int:
             if trainer.ckpt.latest_step() is None:
                 print("WARNING: no checkpoint found; sampling from a "
                       "freshly initialized generator", flush=True)
-            path = trainer.save_samples(tag="sample", psi=args.psi)
+            path = trainer.save_samples(tag="sample", psi=args.psi,
+                                        out=args.out)
             print(f"samples: {path}")
         finally:
             trainer.close()

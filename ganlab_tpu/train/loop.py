@@ -303,7 +303,8 @@ class Trainer:
         self.ckpt.save(int(state.step), state)
 
     def save_samples(self, res_log2: int | None = None,
-                     tag: str = "final", psi: float | None = None) -> str:
+                     tag: str = "final", psi: float | None = None,
+                     out: str | None = None) -> str:
         cfg = self.cfg
         lg = res_log2 if res_log2 is not None else cfg.model.res_log2
         sampler = self._sampler(lg)
@@ -313,8 +314,8 @@ class Trainer:
         state = self.state
         imgs = sampler(state.params_ema, state.w_avg, z,
                        jax.random.PRNGKey(0), psi, 1.0)
-        path = os.path.join(self.workdir, cfg.run.sample_dir,
-                            f"{tag}_res{2 ** lg}.png")
+        path = out or os.path.join(self.workdir, cfg.run.sample_dir,
+                                   f"{tag}_res{2 ** lg}.png")
         return save_image_grid(np.asarray(jax.device_get(imgs)), path)
 
     def close(self):

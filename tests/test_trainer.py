@@ -194,6 +194,19 @@ def test_cli_train_and_sample(tmp_path):
     samples = os.listdir(os.path.join(workdir, "samples"))
     assert any(f.endswith(".png") for f in samples)
 
+    # `sample --out` writes the grid to the requested path.
+    out_png = str(tmp_path / "grid.png")
+    rc = main([
+        "sample", "--preset", "resnetgan-cifar10",
+        "--workdir", workdir, "--num", "4", "--out", out_png,
+        "--set", "model.resolution=16",
+        "--set", "model.latent_dim=8",
+        "--set", "model.base_channels=8",
+        "--set", "run.compute_dtype=float32",
+    ])
+    assert rc == 0
+    assert os.path.exists(out_png)
+
 
 def test_cli_prepare_data(tmp_path):
     from PIL import Image
