@@ -83,6 +83,18 @@ def main(argv=None) -> int:
     p_interp.add_argument("--steps", type=int, default=8)
     p_interp.add_argument("--psi", type=float, default=None)
 
+    p_proj = sub.add_parser("project",
+                            help="invert images into the latent space")
+    _add_common(p_proj)
+    p_proj.add_argument("--images", nargs="+", required=True,
+                        metavar="FILE", help="target image file(s)")
+    p_proj.add_argument("--steps", type=int, default=300)
+    p_proj.add_argument("--lr", type=float, default=0.1)
+    p_proj.add_argument("--w-space", action="store_true",
+                        help="optimize one shared w (default: W+ per layer)")
+    p_proj.add_argument("--out", default=None,
+                        help="output dir (default WORKDIR/projections)")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "prepare-data":
@@ -194,6 +206,44 @@ def main(argv=None) -> int:
             save_image_grid(np.asarray(jax.device_get(imgs)), path,
                             ncol=args.steps)
             print(f"interpolation: {path}")
+        finally:
+            trainer.close()
+        return 0
+
+    if args.cmd == "project":
+        import os
+
+        import jax
+        import numpy as np
+
+        from ganlab_tpu.train.loop import Trainer
+        from ganlab_tpu.utils import save_image_grid
+        from ganlab_tpu.utils.projector import load_image, project
+
+        trainer = Trainer(cfg, workdir=args.workdir, use_mesh=False)
+        try:
+            if trainer.ckpt.latest_step() is None:
+                print("WARNING: no checkpoint found; projecting into a "
+                      "freshly initialized generator", flush=True)
+            res = cfg.model.resolution
+            target = np.stack([load_image(p, res) for p in args.images])
+            state = trainer.state
+            result = project(cfg, state.params_ema, state.w_avg, target,
+                             num_steps=args.steps, lr=args.lr,
+                             w_plus=not args.w_space, seed=cfg.run.seed)
+            out_dir = args.out or os.path.join(args.workdir, "projections")
+            os.makedirs(out_dir, exist_ok=True)
+            recon = np.asarray(jax.device_get(result.images))
+            pairs = np.stack([target, recon], 1).reshape(
+                2 * len(target), res, res, 3)
+            grid = save_image_grid(pairs, os.path.join(out_dir, "pairs.png"),
+                                   ncol=2)
+            lat_path = os.path.join(out_dir, "latents.npy")
+            np.save(lat_path, np.asarray(jax.device_get(result.latents)))
+            losses = np.asarray(jax.device_get(result.losses))
+            print(f"projection: {grid} ({'W' if result.is_w_space else 'z'}"
+                  f" space; loss {losses[0]:.4f} -> {losses[-1]:.4f}; "
+                  f"latents {lat_path})")
         finally:
             trainer.close()
         return 0

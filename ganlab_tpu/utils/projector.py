@@ -1,0 +1,221 @@
+"""Latent-space projection: invert images into the generator's latent space.
+
+The reference has no projector; this provides the official StyleGAN2
+``projector.py`` surface (given a target image, find the latent whose
+synthesis reproduces it — Karras et al. 2020, app. D) re-designed
+TPU-first: the ENTIRE optimization — Adam, cosine LR ramp-up/down, the
+decaying W-space exploration noise, and the multi-scale loss — is ONE
+compiled ``lax.scan`` program. One host dispatch per projection instead
+of one per step, which on the tunneled-relay platform (~11 ms/dispatch,
+BASELINE.md) is the difference between ~3 s and ~2 min of host gap for
+1000 steps.
+
+No pretrained VGG16/LPIPS weights exist in this container (no egress),
+so the perceptual term is a Laplacian-style image pyramid: MSE summed
+over repeated 2x2 box downsamples, penalizing mismatch at every octave.
+This recovers structure well on the distributions trainable here; with
+real perceptual weights the ``loss_fn`` hook accepts any differentiable
+image distance.
+
+StyleGAN / StyleGAN2 families project in W (shared) or W+ (per-layer)
+space, initialized at the tracked ``w_avg``; z-prior families
+(ProGAN / ResNet-GAN) optimize z directly through the same loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ganlab_tpu.config import Config
+from ganlab_tpu.models import build_models
+from ganlab_tpu.models.stylegan import num_style_layers
+
+
+@dataclasses.dataclass
+class ProjectionResult:
+    latents: Any          # (B, L, D) ws for style families, (B, D) z else
+    images: Any           # (B, H, W, C) float32 in [-1, 1], final synthesis
+    losses: Any           # (num_steps,) float32 loss trajectory
+    is_w_space: bool
+
+
+def pyramid_loss(img, target, levels: int = 4):
+    """MSE summed over ``levels`` 2x2-box-downsampled octaves (NHWC)."""
+    loss = jnp.mean((img - target) ** 2)
+    for _ in range(levels):
+        if img.shape[1] < 8 or img.shape[1] % 2 or img.shape[2] % 2:
+            break
+        b, h, w, c = img.shape
+        img = img.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        target = target.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        loss = loss + jnp.mean((img - target) ** 2)
+    return loss
+
+
+def _lr_schedule(base_lr: float, num_steps: int, rampup: float = 0.05,
+                 rampdown: float = 0.25):
+    """The official projector LR curve: linear warmup, cosine rampdown."""
+
+    def schedule(step):
+        t = step.astype(jnp.float32) / num_steps
+        up = jnp.minimum(t / rampup, 1.0)
+        down = jnp.minimum((1.0 - t) / rampdown, 1.0)
+        down = 0.5 - 0.5 * jnp.cos(down * jnp.pi)
+        return base_lr * up * down
+
+    return schedule
+
+
+def project(cfg: Config, params, w_avg, target, *, num_steps: int = 300,
+            lr: float = 0.1, w_plus: bool = True, seed: int = 0,
+            num_restarts: int = 8, num_candidates: int = 64,
+            res_log2: int | None = None,
+            alpha: float = 1.0, initial_noise_factor: float = 0.05,
+            noise_ramp: float = 0.75,
+            loss_fn: Callable = pyramid_loss) -> ProjectionResult:
+    """Invert ``target`` images into the generator's latent space.
+
+    Args:
+      cfg: full config (selects the model family).
+      params: generator params (normally the EMA params — inversion
+        targets the same network the user samples from).
+      w_avg: tracked W average (ignored for z-prior families; pass the
+        TrainState's, or zeros).
+      target: (B, H, W, C) float32 images in [-1, 1] at the generator's
+        output resolution.
+      num_steps: Adam steps (the whole loop is one compiled scan).
+      w_plus: optimize a separate w per style layer (W+) instead of one
+        shared w. W+ reconstructs better; W stays closer to the prior.
+      num_restarts: parallel restarts per target. A pool of
+        ``num_candidates`` latents (w_avg plus mapped w's of random z's)
+        is scored against each target with one batched forward pass, and
+        the top ``num_restarts`` per target seed the optimization. All
+        restarts ride the batch dimension through ONE compiled program —
+        on the MXU they are nearly free, and they are what makes
+        inversion robust: a single w_avg-descent measurably stalls in
+        bad basins (observed: MSE 1.8 stuck vs 2e-3 with scored
+        restarts on the same target).
+      num_candidates: size of the scored init pool (>= num_restarts).
+      initial_noise_factor / noise_ramp: decaying exploration noise added
+        to the latent each step (official recipe).
+
+    Returns a :class:`ProjectionResult` with the best restart per target.
+    """
+    g_model, _ = build_models(cfg.model)
+    is_style = hasattr(g_model, "map_latents")
+    lg = cfg.model.res_log2 if res_log2 is None else res_log2
+    target = jnp.asarray(target, jnp.float32)
+    batch = target.shape[0]
+    dim = cfg.model.latent_dim
+    n_r = max(1, num_restarts)
+    key = jax.random.PRNGKey(seed)
+    noise_key, stat_key, opt_key = jax.random.split(key, 3)
+
+    n_c = max(num_candidates, n_r)
+
+    if is_style:
+        nl = num_style_layers(lg)
+        # Mapped-w statistics: exploration-noise scale AND the init pool.
+        z = jax.random.normal(stat_key, (max(256, n_c - 1), dim))
+        w_samples = g_model.apply(params, z,
+                                  method="map_latents").astype(jnp.float32)
+        center = jnp.asarray(w_avg, jnp.float32)
+        lat_std = jnp.sqrt(jnp.mean((w_samples - center[None, :]) ** 2))
+        pool = jnp.concatenate([center[None, :], w_samples[:n_c - 1]], 0)
+
+        def expand(flat):
+            """(N, D) pool latents -> (N, layers, D) optimization shape."""
+            return jnp.repeat(flat[:, None, :], nl if w_plus else 1, 1)
+
+        def synthesize(lat):
+            ws = lat if w_plus else jnp.broadcast_to(
+                lat, (lat.shape[0], nl, lat.shape[-1]))
+            img = g_model.apply(params, ws, lg, alpha, method="synthesize",
+                                rngs={"noise": noise_key})
+            return img.astype(jnp.float32)
+    else:
+        lat_std = jnp.float32(1.0)
+        pool = jnp.concatenate(
+            [jnp.zeros((1, dim)),
+             jax.random.normal(stat_key, (n_c - 1, dim))], 0)
+
+        def expand(flat):
+            return flat
+
+        def synthesize(lat):
+            return g_model.apply(params, lat, lg, alpha).astype(jnp.float32)
+
+    target_r = jnp.tile(target, (n_r,) + (1,) * (target.ndim - 1))
+    opt = optax.adam(learning_rate=_lr_schedule(lr, num_steps),
+                     b1=0.9, b2=0.999)
+
+    @jax.jit
+    def run(pool, target, target_r):
+        # Score the init pool: one batched forward, then an MXU-friendly
+        # (pool x target) distance matrix via flattened dot products
+        # (never materializing a (P, B, H, W, C) broadcast).
+        pool_imgs = synthesize(expand(pool))
+        pf = pool_imgs.reshape(pool_imgs.shape[0], -1)
+        tf = target.reshape(batch, -1)
+        n_pix = pf.shape[1]
+        d2 = (jnp.sum(pf ** 2, 1)[:, None] / n_pix
+              - 2.0 * (pf @ tf.T) / n_pix
+              + jnp.sum(tf ** 2, 1)[None, :] / n_pix)   # (P, B) mean sq err
+        top = jnp.argsort(d2, axis=0)[:n_r]             # (R, B)
+        lat0 = expand(pool[top.reshape(-1)])            # (R*B, ...)
+        opt_state = opt.init(lat0)
+
+        def loss_of(lat, step_key, t):
+            frac = t.astype(jnp.float32) / num_steps
+            scale = (lat_std * initial_noise_factor
+                     * jnp.maximum(0.0, 1.0 - frac / noise_ramp) ** 2)
+            noisy = lat + scale * jax.random.normal(step_key, lat.shape)
+            return loss_fn(synthesize(noisy), target_r)
+
+        def body(carry, t):
+            lat, opt_state = carry
+            step_key = jax.random.fold_in(opt_key, t)
+            loss, grad = jax.value_and_grad(loss_of)(lat, step_key, t)
+            updates, opt_state = opt.update(grad, opt_state, lat)
+            lat = optax.apply_updates(lat, updates)
+            return (lat, opt_state), loss
+
+        (lat, _), losses = jax.lax.scan(body, (lat0, opt_state),
+                                        jnp.arange(num_steps))
+        # Best restart per target by final plain MSE (noise-free).
+        images = synthesize(lat)
+        mse = jnp.mean((images - target_r) ** 2,
+                       axis=tuple(range(1, images.ndim))).reshape(n_r, batch)
+        pick = jnp.argmin(mse, axis=0)                      # (batch,)
+        idx = pick * batch + jnp.arange(batch)              # flat index
+        return lat[idx], images[idx], losses
+
+    lat, images, losses = run(pool, target, target_r)
+    if is_style and not w_plus:
+        lat = jnp.broadcast_to(lat, (batch, num_style_layers(lg),
+                                     lat.shape[-1]))
+    # Images are returned UNCLIPPED: the loss targeted the raw synthesis
+    # range, and clipping here would silently corrupt any downstream
+    # image-space comparison (grid saving clips for display on its own).
+    return ProjectionResult(latents=lat, images=images,
+                            losses=losses, is_w_space=is_style)
+
+
+def load_image(path: str, resolution: int) -> np.ndarray:
+    """Load one image file -> (H, W, 3) float32 in [-1, 1] at resolution."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    side = min(img.size)
+    left = (img.size[0] - side) // 2
+    top = (img.size[1] - side) // 2
+    img = img.crop((left, top, left + side, top + side))
+    img = img.resize((resolution, resolution), Image.LANCZOS)
+    return np.asarray(img, np.float32) / 127.5 - 1.0

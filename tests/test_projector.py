@@ -1,0 +1,126 @@
+"""Latent projection (image -> latent inversion).
+
+The reference has no projector (SURVEY.md section 2.2 lists none); this
+is a beyond-reference capability mirroring the official StyleGAN2
+projector surface. Tests run the whole compiled-scan optimization on
+tiny models and assert the loss actually collapses toward the target.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganlab_tpu.config import get_config
+from ganlab_tpu.models import build_models
+from ganlab_tpu.models.stylegan import num_style_layers
+from ganlab_tpu.utils.projector import load_image, project, pyramid_loss
+
+TINY_STYLE = {
+    "model.resolution": 16, "model.fmap_base": 128, "model.fmap_max": 32,
+    "model.latent_dim": 16, "model.mapping_layers": 2,
+    "run.compute_dtype": "float32",
+}
+
+
+def _style_target(cfg, params, batch=2, seed=7):
+    """Synthesize a target from known latents (fixed noise is irrelevant at
+    init: noise-injection scales initialize to zero)."""
+    g, _ = build_models(cfg.model)
+    z = jax.random.normal(jax.random.PRNGKey(seed),
+                          (batch, cfg.model.latent_dim))
+    w = g.apply(params, z, method="map_latents")
+    ws = jnp.repeat(w[:, None, :], num_style_layers(cfg.model.res_log2), 1)
+    img = g.apply(params, ws, cfg.model.res_log2, 1.0, method="synthesize",
+                  rngs={"noise": jax.random.PRNGKey(0)})
+    return np.asarray(img, np.float32)
+
+
+def test_project_recovers_stylegan_image():
+    cfg = get_config("stylegan-256", **TINY_STYLE)
+    g, _ = build_models(cfg.model)
+    params = g.init_all(jax.random.PRNGKey(0))
+    target = _style_target(cfg, params)
+    w_avg = jnp.zeros((cfg.model.latent_dim,))
+
+    res = project(cfg, params, w_avg, target, num_steps=200, seed=0)
+    losses = np.asarray(res.losses)
+    assert losses.shape == (200,)
+    assert res.is_w_space
+    nl = num_style_layers(cfg.model.res_log2)
+    assert res.latents.shape == (2, nl, cfg.model.latent_dim)
+    # The optimization must make real progress toward the target...
+    assert losses[-1] < 0.2 * losses[0]
+    # ...and the reconstruction must be close in plain MSE.
+    mse = float(np.mean((np.asarray(res.images) - target) ** 2))
+    assert mse < 0.05, mse
+
+
+def test_project_shared_w_and_stylegan2():
+    cfg = get_config("stylegan2-256", **TINY_STYLE)
+    g, _ = build_models(cfg.model)
+    params = g.init_all(jax.random.PRNGKey(1))
+    target = _style_target(cfg, params, batch=1, seed=3)
+    w_avg = jnp.zeros((cfg.model.latent_dim,))
+
+    res = project(cfg, params, w_avg, target, num_steps=60, w_plus=False,
+                  seed=0)
+    nl = num_style_layers(cfg.model.res_log2)
+    # Shared-W result is broadcast to per-layer form for downstream use.
+    assert res.latents.shape == (1, nl, cfg.model.latent_dim)
+    assert np.asarray(res.losses)[-1] < np.asarray(res.losses)[0]
+
+
+def test_project_z_space_resnetgan():
+    cfg = get_config("resnetgan-cifar10", **{
+        "model.resolution": 16, "model.latent_dim": 8,
+        "model.base_channels": 8, "run.compute_dtype": "float32"})
+    g, _ = build_models(cfg.model)
+    params = g.init_all(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(5), (2, 8))
+    target = np.asarray(g.apply(params, z), np.float32)
+
+    res = project(cfg, params, jnp.zeros((8,)), target, num_steps=150,
+                  lr=0.05, seed=0)
+    assert not res.is_w_space
+    assert res.latents.shape == (2, 8)
+    losses = np.asarray(res.losses)
+    assert losses[-1] < 0.2 * losses[0]
+
+
+def test_pyramid_loss_zero_on_identical():
+    img = jnp.ones((1, 16, 16, 3)) * 0.3
+    assert float(pyramid_loss(img, img)) == 0.0
+    assert float(pyramid_loss(img, -img)) > 0.0
+
+
+def test_cli_project(tmp_path):
+    from PIL import Image
+
+    from ganlab_tpu.cli import main
+
+    png = str(tmp_path / "target.png")
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (20, 24, 3), np.uint8)).save(png)
+
+    workdir = str(tmp_path / "run")
+    out = str(tmp_path / "proj")
+    rc = main([
+        "project", "--preset", "stylegan-256",
+        "--workdir", workdir, "--images", png, png,
+        "--steps", "10", "--out", out,
+        "--set", "model.resolution=16",
+        "--set", "model.fmap_base=128",
+        "--set", "model.fmap_max=32",
+        "--set", "model.latent_dim=16",
+        "--set", "model.mapping_layers=2",
+        "--set", "run.compute_dtype=float32",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "pairs.png"))
+    lat = np.load(os.path.join(out, "latents.npy"))
+    assert lat.shape == (2, num_style_layers(4), 16)
+    # load_image center-crops to square and resizes.
+    assert load_image(png, 16).shape == (16, 16, 3)
