@@ -83,6 +83,17 @@ def main(argv=None) -> int:
     p_interp.add_argument("--steps", type=int, default=8)
     p_interp.add_argument("--psi", type=float, default=None)
 
+    p_mix = sub.add_parser("mixgrid",
+                           help="style-mixing grid (StyleGAN figure 3)")
+    _add_common(p_mix)
+    p_mix.add_argument("--num", type=int, default=4,
+                       help="grid side: NUM source-A rows x NUM source-B "
+                            "columns")
+    p_mix.add_argument("--crossover", type=int, default=4,
+                       help="style layer where B takes over (coarse<k<=fine)")
+    p_mix.add_argument("--psi", type=float, default=None)
+    p_mix.add_argument("--out", default=None)
+
     p_proj = sub.add_parser("project",
                             help="invert images into the latent space")
     _add_common(p_proj)
@@ -206,6 +217,76 @@ def main(argv=None) -> int:
             save_image_grid(np.asarray(jax.device_get(imgs)), path,
                             ncol=args.steps)
             print(f"interpolation: {path}")
+        finally:
+            trainer.close()
+        return 0
+
+    if args.cmd == "mixgrid":
+        import os
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ganlab_tpu.models import build_models
+        from ganlab_tpu.models.stylegan import (num_style_layers,
+                                                truncate_ws)
+        from ganlab_tpu.train.loop import Trainer
+        from ganlab_tpu.utils import save_image_grid
+
+        trainer = Trainer(cfg, workdir=args.workdir, use_mesh=False)
+        try:
+            g_model, _ = build_models(cfg.model)
+            if not hasattr(g_model, "map_latents"):
+                print("mixgrid requires a style-based model family")
+                return 1
+            state = trainer.state
+            n, lg = args.num, cfg.model.res_log2
+            nl = num_style_layers(lg)
+            psi = args.psi if args.psi is not None \
+                else cfg.model.truncation_psi
+            key = jax.random.PRNGKey(cfg.run.seed + 3)
+            ka, kb = jax.random.split(key)
+            za = jax.random.normal(ka, (n, cfg.model.latent_dim))
+            zb = jax.random.normal(kb, (n, cfg.model.latent_dim))
+
+            @jax.jit
+            def make(params, w_avg, za, zb):
+                wa = g_model.apply(params, za, method="map_latents")
+                wb = g_model.apply(params, zb, method="map_latents")
+                wsa = jnp.repeat(wa[:, None, :], nl, 1)
+                wsb = jnp.repeat(wb[:, None, :], nl, 1)
+                w_avg_ = w_avg.astype(wsa.dtype)
+                wsa = truncate_ws(wsa, w_avg_, psi,
+                                  cfg.model.truncation_cutoff)
+                wsb = truncate_ws(wsb, w_avg_, psi,
+                                  cfg.model.truncation_cutoff)
+                layer = jnp.arange(nl)[None, None, :, None]
+                mixed = jnp.where(layer < args.crossover,
+                                  wsa[:, None], wsb[None, :])   # (n, n, L, D)
+                ws = jnp.concatenate([wsa, wsb,
+                                      mixed.reshape(n * n, nl, -1)], 0)
+                imgs = g_model.apply(params, ws, lg, 1.0,
+                                     method="synthesize",
+                                     rngs={"noise": jax.random.PRNGKey(0)})
+                return jnp.clip(imgs.astype(jnp.float32), -1.0, 1.0)
+
+            imgs = np.asarray(jax.device_get(
+                make(state.params_ema, state.w_avg, za, zb)))
+            a_imgs, b_imgs = imgs[:n], imgs[n:2 * n]
+            cells = imgs[2 * n:].reshape(n, n, *imgs.shape[1:])
+            # (n+1)x(n+1) grid: corner blank, top row = B (fine source),
+            # left column = A (coarse source), cell (i,j) = A_i<xover>B_j.
+            blank = np.ones_like(imgs[0])
+            rows = [np.stack([blank] + list(b_imgs))]
+            for i in range(n):
+                rows.append(np.stack([a_imgs[i]] + list(cells[i])))
+            grid = np.concatenate(rows, 0)
+            path = args.out or os.path.join(args.workdir, cfg.run.sample_dir,
+                                            "mixgrid.png")
+            save_image_grid(grid, path, ncol=n + 1)
+            print(f"mixgrid: {path} (crossover layer {args.crossover}, "
+                  f"psi {psi})")
         finally:
             trainer.close()
         return 0

@@ -96,6 +96,31 @@ def test_pyramid_loss_zero_on_identical():
     assert float(pyramid_loss(img, -img)) > 0.0
 
 
+def test_cli_mixgrid(tmp_path):
+    from PIL import Image
+
+    from ganlab_tpu.cli import main
+
+    workdir = str(tmp_path / "run")
+    out = str(tmp_path / "mix.png")
+    rc = main([
+        "mixgrid", "--preset", "stylegan-256",
+        "--workdir", workdir, "--num", "2", "--crossover", "2",
+        "--out", out,
+        "--set", "model.resolution=16",
+        "--set", "model.fmap_base=128",
+        "--set", "model.fmap_max=32",
+        "--set", "model.latent_dim=16",
+        "--set", "model.mapping_layers=2",
+        "--set", "run.compute_dtype=float32",
+    ])
+    assert rc == 0
+    img = np.asarray(Image.open(out))
+    # (num+1) x (num+1) grid of 16x16 tiles with 2px padding.
+    side = 3 * 16 + 2 * 2
+    assert img.shape == (side, side, 3)
+
+
 def test_cli_project(tmp_path):
     from PIL import Image
 
