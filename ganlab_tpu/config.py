@@ -118,6 +118,15 @@ class LossConfig:
     # StyleGAN's simultaneous-update semantics, vs the reference's
     # sequential D-then-G. ~15-20% faster; requires d_steps_per_g == 1.
     fused_g_step: bool = False
+    # Shared-batch sequential step: the G update reuses the D step's
+    # latent batch, so XLA CSEs the fake batch's G forward between the
+    # two phases (most of fused_g_step's saving) while G still trains
+    # against the POST-update D — the sequential semantics whose
+    # violation is what the round-3 A/B measured as FID-destabilizing.
+    # The same-minibatch alternating update is the standard DCGAN-recipe
+    # pattern (G step scores the D step's fake batch under the new D).
+    # Mutually exclusive with fused_g_step.
+    fused_seq: bool = False
     # Path-length regularization on G (StyleGAN2 sec. 3.2 / app. B — an
     # extension beyond the reference; style families only). 0 disables.
     # Official weight is 2.0, applied every pl_every steps with the lazy
@@ -127,6 +136,12 @@ class LossConfig:
     pl_every: int = 4
     pl_decay: float = 0.01
     pl_batch_shrink: int = 2
+
+    def __post_init__(self):
+        if self.fused_g_step and self.fused_seq:
+            raise ValueError(
+                "loss.fused_g_step and loss.fused_seq are mutually "
+                "exclusive (pre-update-D fused vs shared-batch sequential)")
 
 
 @dataclass(frozen=True)

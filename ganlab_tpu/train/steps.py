@@ -334,6 +334,15 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         keys, next_rng = derive_keys(state,
                                      n_base + (3 if aug_active else 0))
         k_flip, k_zd, k_nd, k_gp, k_zg, k_ng = keys[:6]
+        if lc.fused_seq:
+            # Shared-batch sequential step: G scores the SAME fake batch
+            # the D step just saw (under the post-update D). The G
+            # objective's forward becomes HLO-identical to the D phase's
+            # fake computation, so XLA CSEs it — one G forward per step
+            # instead of two. Key arity is unchanged (k_zg/k_ng become
+            # dead and are DCE'd), so this is its own compiled program
+            # only because the G-phase graph changes, not the key layout.
+            k_zg, k_ng = k_zd, k_nd
         k_pl = keys[6] if pl_active else None
         real = _preprocess(real_u8, cfg.data.hflip, k_flip, dtype)
         p_aug = aug_p_of(state)
@@ -512,6 +521,8 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                         ada_p=new_ada_p, ada_rt=ada_rt)
 
     if lc.fused_g_step:
+        assert not lc.fused_seq, \
+            "fused_g_step and fused_seq are mutually exclusive"
         assert lc.d_steps_per_g == 1, \
             "fused_g_step requires d_steps_per_g == 1"
         return step_fused

@@ -48,6 +48,11 @@ RECIPES = {
     # an observed FID delta to one of them (--recipes lazy16,fused).
     "lazy16": {"loss.penalty_every": 16, "loss.fused_g_step": False},
     "fused": {"loss.penalty_every": 1, "loss.fused_g_step": True},
+    # Shared-batch sequential step (r3): fused's G-forward sharing with
+    # sequential (post-update-D) semantics; the single deviation is G
+    # scoring the D step's latent batch instead of a fresh one.
+    "fusedseq": {"loss.penalty_every": 16, "loss.fused_g_step": False,
+                 "loss.fused_seq": True},
     # ADA measurement arm (vs parity, on a SMALL pool via --num-images):
     # quantifies the augmentation extension's effect in the D-overfitting
     # regime it was built for.

@@ -1,0 +1,88 @@
+"""Shared-batch sequential step (loss.fused_seq).
+
+The ONLY semantic change vs the plain sequential step is that the G
+update scores the D step's fake batch (under the post-update D) instead
+of drawing a fresh one. So with identical state and input:
+
+* the D-phase keys and math are untouched -> the D update must be
+  BITWISE identical to the plain sequential step's;
+* the G update sees different latents -> G params must differ.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ganlab_tpu.config import get_config
+from ganlab_tpu.parallel import make_single_step
+from ganlab_tpu.train.schedule import build_phases
+from ganlab_tpu.train.state import create_train_state
+from ganlab_tpu.train.steps import make_lazy_stepper
+
+
+def tiny_cfg(**over):
+    base = {
+        "model.model": "stylegan",
+        "model.resolution": 16,
+        "model.latent_dim": 8,
+        "model.fmap_base": 64,
+        "model.fmap_max": 8,
+        "model.mapping_layers": 2,
+        "schedule.progressive": False,
+        "run.compute_dtype": "float32",
+    }
+    base.update(over)
+    cfg = get_config("stylegan-256", **base)
+    return cfg.replace(schedule=cfg.schedule.__class__(
+        progressive=False, batch_schedule={16: 4}))
+
+
+def one_step(cfg, batch):
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_lazy_stepper(cfg, phase, make_single_step)
+    return step(state, jnp.asarray(batch))
+
+
+def test_fused_seq_d_identical_g_differs():
+    rng = np.random.RandomState(0)
+    batch = rng.randint(0, 256, (4, 16, 16, 3), np.uint8)
+    s_plain, m_plain = one_step(tiny_cfg(), batch)
+    s_seq, m_seq = one_step(tiny_cfg(**{"loss.fused_seq": True}), batch)
+
+    # D phase untouched: bitwise-equal D params and D metrics.
+    d_a = jax.tree.leaves(s_plain.params_d)
+    d_b = jax.tree.leaves(s_seq.params_d)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(d_a, d_b))
+    assert float(m_plain["d_loss"]) == float(m_seq["d_loss"])
+
+    # G phase sees the shared batch: params must differ.
+    g_a = np.concatenate([np.asarray(x).ravel()
+                          for x in jax.tree.leaves(s_plain.params_g)])
+    g_b = np.concatenate([np.asarray(x).ravel()
+                          for x in jax.tree.leaves(s_seq.params_g)])
+    assert not np.array_equal(g_a, g_b)
+    # Both updates are sane (finite, nonzero).
+    assert np.isfinite(g_b).all()
+    assert float(m_seq["g_loss"]) != 0.0
+
+
+def test_fused_seq_trains():
+    cfg = tiny_cfg(**{"loss.fused_seq": True, "loss.penalty_every": 4})
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_lazy_stepper(cfg, phase, make_single_step)
+    rng = np.random.RandomState(1)
+    for i in range(8):
+        b = rng.randint(0, 256, (4, 16, 16, 3), np.uint8)
+        state, m = step(state, jnp.asarray(b))
+    assert np.isfinite(float(m["d_loss"]))
+    assert np.isfinite(float(m["g_loss"]))
+    assert int(state.step) == 8
+
+
+def test_fused_seq_excludes_fused():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tiny_cfg(**{"loss.fused_seq": True, "loss.fused_g_step": True})
