@@ -83,6 +83,36 @@ def test_fused_seq_trains():
     assert int(state.step) == 8
 
 
+def test_fused_seq_chunked_matches_singles():
+    """The production scan-chunked path composes with fused_seq."""
+    from ganlab_tpu.train.steps import make_chunked_stepper
+
+    cfg = tiny_cfg(**{"loss.fused_seq": True, "loss.penalty_every": 4})
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    rng = np.random.RandomState(2)
+    stack = np.stack([rng.randint(0, 256, (4, 16, 16, 3), np.uint8)
+                      for _ in range(4)])
+
+    state_s = create_train_state(cfg, jax.random.PRNGKey(0))
+    stepper_s = make_lazy_stepper(cfg, phase, make_single_step)
+    for i in range(4):
+        state_s, m_s = stepper_s(state_s, jnp.asarray(stack[i]))
+
+    state_c = create_train_state(cfg, jax.random.PRNGKey(0))
+    chunked, k = make_chunked_stepper(cfg, phase, make_single_step,
+                                      make_single_step)
+    assert k == 4
+    state_c, m_c = chunked(state_c, jnp.asarray(stack))
+
+    # Same math through the scan compile: reuse test_chunked's
+    # state-equality helper (statistics tolerance — a different compile
+    # reassociates float math; exact equality only holds same-program).
+    from tests.test_chunked import assert_states_equal
+
+    assert_states_equal(state_s, state_c)
+    assert int(state_c.step) == int(state_s.step) == 4
+
+
 def test_fused_seq_excludes_fused():
     with pytest.raises(ValueError, match="mutually exclusive"):
         tiny_cfg(**{"loss.fused_seq": True, "loss.fused_g_step": True})
