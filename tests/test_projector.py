@@ -121,6 +121,25 @@ def test_cli_mixgrid(tmp_path):
     assert img.shape == (side, side, 3)
 
 
+def test_cli_interpolate(tmp_path):
+    from ganlab_tpu.cli import main
+
+    workdir = str(tmp_path / "run")
+    rc = main([
+        "interpolate", "--preset", "stylegan-256",
+        "--workdir", workdir, "--anchors", "2", "--steps", "3",
+        "--set", "model.resolution=16",
+        "--set", "model.fmap_base=128",
+        "--set", "model.fmap_max=32",
+        "--set", "model.latent_dim=16",
+        "--set", "model.mapping_layers=2",
+        "--set", "run.compute_dtype=float32",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(workdir, "samples",
+                                       "interpolation.png"))
+
+
 def test_cli_project(tmp_path):
     from PIL import Image
 
