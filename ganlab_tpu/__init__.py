@@ -33,6 +33,8 @@ _API = {
     "StyleGANLearner": "ganlab_tpu.learners",
     "build_models": "ganlab_tpu.models",
     "BatchSampler": "ganlab_tpu.serve",
+    "ExportedSampler": "ganlab_tpu.export",
+    "export_sampler": "ganlab_tpu.export",
 }
 
 

@@ -94,6 +94,21 @@ def main(argv=None) -> int:
     p_mix.add_argument("--psi", type=float, default=None)
     p_mix.add_argument("--out", default=None)
 
+    p_exp = sub.add_parser("export",
+                           help="serialize the G-EMA sampler to a portable "
+                                "StableHLO artifact")
+    _add_common(p_exp)
+    p_exp.add_argument("--out", default=None,
+                       help="artifact path (default WORKDIR/export/"
+                            "sampler.ganlab.zip)")
+    p_exp.add_argument("--batch", type=int, default=16,
+                       help="fixed serving batch size compiled into the "
+                            "artifact")
+    p_exp.add_argument("--platforms", default="tpu,cpu",
+                       help="comma list of target platforms")
+    p_exp.add_argument("--psi", type=float, default=None,
+                       help="default truncation psi stored in the artifact")
+
     p_proj = sub.add_parser("project",
                             help="invert images into the latent space")
     _add_common(p_proj)
@@ -287,6 +302,34 @@ def main(argv=None) -> int:
             save_image_grid(grid, path, ncol=n + 1)
             print(f"mixgrid: {path} (crossover layer {args.crossover}, "
                   f"psi {psi})")
+        finally:
+            trainer.close()
+        return 0
+
+    if args.cmd == "export":
+        import os
+
+        from ganlab_tpu.export import export_sampler
+        from ganlab_tpu.train.loop import Trainer
+
+        trainer = Trainer(cfg, workdir=args.workdir, use_mesh=False)
+        try:
+            if trainer.ckpt.latest_step() is None:
+                print("WARNING: no checkpoint found; exporting a freshly "
+                      "initialized generator", flush=True)
+            out = args.out
+            if out is None:
+                out = os.path.join(args.workdir, "export",
+                                   "sampler.ganlab.zip")
+            os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+            path = export_sampler(
+                cfg, trainer.state, out, batch_size=args.batch,
+                platforms=tuple(p.strip()
+                                for p in args.platforms.split(",")),
+                default_psi=args.psi)
+            size_mb = os.path.getsize(path) / 1e6
+            print(f"exported: {path} ({size_mb:.1f} MB, batch {args.batch}, "
+                  f"platforms {args.platforms})")
         finally:
             trainer.close()
         return 0
