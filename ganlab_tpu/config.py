@@ -390,12 +390,21 @@ def _preset_stylegan256() -> Config:
       the judged metric, so the default recipe takes the honest
       sequential update; `--set loss.fused_g_step=true` restores the
       throughput recipe for raw-speed runs.
+    * fused_seq is ON instead (r3, second A/B round): the shared-batch
+      sequential step keeps the D update BITWISE identical to the plain
+      sequential recipe (tested) while XLA CSEs the G forward, worth
+      ~+8% measured (156 -> 168 img/s single-step b16). Its own A/B arm
+      scored at-or-better than the lazy16 arm it extends on both
+      extractors (BASELINE.md Finding 5), so the deviation — G scoring
+      the D step's latent batch under the post-update D, the standard
+      DCGAN pattern — is measured, not assumed.
     """
     return Config(
         model=ModelConfig(model="stylegan", resolution=256),
         loss=LossConfig(loss="nonsaturating", penalty="r1",
                         penalty_weight=10.0, drift_weight=0.0,
-                        penalty_every=16, fused_g_step=False),
+                        penalty_every=16, fused_g_step=False,
+                        fused_seq=True),
         # G-EMA horizon in kimg (official half-life 10k imgs): the judged
         # FID is computed from the EMA generator, and a per-step ema_beta
         # would shrink the horizon x N_devices under DP (VERDICT r2 #4).
@@ -416,9 +425,11 @@ def _preset_stylegan2_256() -> Config:
         loss=LossConfig(loss="nonsaturating", penalty="r1",
                         penalty_weight=10.0, drift_weight=0.0,
                         # sequential update as of r3 (fused destabilizes
-                        # FID — see _preset_stylegan256 / BASELINE.md)
+                        # FID — see _preset_stylegan256 / BASELINE.md);
+                        # shared-batch G forward (fused_seq) measured
+                        # quality-neutral vs the lazy16 default it extends
                         penalty_every=16, fused_g_step=False,
-                        pl_weight=2.0, pl_every=4),
+                        fused_seq=True, pl_weight=2.0, pl_every=4),
         optim=OptimConfig(ema_kimg=10.0),  # device-count-invariant G-EMA
         schedule=ScheduleConfig(progressive=False),
     )
@@ -469,9 +480,21 @@ def get_config(preset: str = "stylegan-256", **overrides: Any) -> Config:
 
 
 def apply_overrides(cfg: Config, overrides: dict[str, Any]) -> Config:
-    """Apply 'section.field' -> value overrides to a Config."""
+    """Apply 'section.field' -> value overrides to a Config.
+
+    ``loss.fused_g_step`` and ``loss.fused_seq`` are alternatives on the
+    same axis (how the G step relates to the D step), so explicitly
+    opting INTO one clears the other unless it too was set explicitly —
+    ``--set loss.fused_g_step=true`` on a preset that defaults
+    ``fused_seq=True`` means "use the fused step", not a conflict.
+    """
     if not overrides:
         return cfg
+    overrides = dict(overrides)
+    for a, b in (("loss.fused_g_step", "loss.fused_seq"),
+                 ("loss.fused_seq", "loss.fused_g_step")):
+        if overrides.get(a) and b not in overrides:
+            overrides[b] = False
     sections: dict[str, dict[str, Any]] = {}
     for key, value in overrides.items():
         if "." not in key:
@@ -483,6 +506,26 @@ def apply_overrides(cfg: Config, overrides: dict[str, Any]) -> Config:
         current = getattr(cfg, sec)
         updates[sec] = dataclasses.replace(current, **fields)
     return cfg.replace(**updates)
+
+
+def save_config(cfg: Config, path: str) -> None:
+    """Write the FULL config as nested JSON.
+
+    ``load_config`` round-trips it exactly (int-keyed schedule dicts
+    included, via the digit-key coercion). Every field is explicit, so a
+    saved run's semantics can't drift when a preset default changes in a
+    later version — the CLI's workdir-config fallback depends on this.
+    """
+    import json
+    import os
+
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
 
 
 def load_config(path: str, preset: str | None = None) -> Config:

@@ -41,23 +41,31 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Every arm pins ALL THREE recipe axes explicitly: the preset default
+# changed over the A/B campaign (fused_seq became the r3 default), and
+# an arm inheriting a drifting default would silently change meaning.
 RECIPES = {
-    "parity": {"loss.penalty_every": 1, "loss.fused_g_step": False},
-    "fast": {"loss.penalty_every": 16, "loss.fused_g_step": True},
+    "parity": {"loss.penalty_every": 1, "loss.fused_g_step": False,
+               "loss.fused_seq": False},
+    "fast": {"loss.penalty_every": 16, "loss.fused_g_step": True,
+             "loss.fused_seq": False},
     # Isolation arms: the fast recipe is TWO deviations; these attribute
     # an observed FID delta to one of them (--recipes lazy16,fused).
-    "lazy16": {"loss.penalty_every": 16, "loss.fused_g_step": False},
-    "fused": {"loss.penalty_every": 1, "loss.fused_g_step": True},
+    "lazy16": {"loss.penalty_every": 16, "loss.fused_g_step": False,
+               "loss.fused_seq": False},
+    "fused": {"loss.penalty_every": 1, "loss.fused_g_step": True,
+              "loss.fused_seq": False},
     # Shared-batch sequential step (r3): fused's G-forward sharing with
     # sequential (post-update-D) semantics; the single deviation is G
     # scoring the D step's latent batch instead of a fresh one.
+    # Measured Finding 5 (BASELINE.md) -> promoted to the preset default.
     "fusedseq": {"loss.penalty_every": 16, "loss.fused_g_step": False,
                  "loss.fused_seq": True},
     # ADA measurement arm (vs parity, on a SMALL pool via --num-images):
     # quantifies the augmentation extension's effect in the D-overfitting
     # regime it was built for.
     "ada": {"loss.penalty_every": 1, "loss.fused_g_step": False,
-            "aug.mode": "ada", "aug.p_init": 0.0},
+            "loss.fused_seq": False, "aug.mode": "ada", "aug.p_init": 0.0},
 }
 
 

@@ -53,6 +53,11 @@ def main():
         "schedule.progressive": False,
         "loss.penalty_every": args.penalty_every,
         "loss.fused_g_step": bool(args.fused),
+        # The positional `fused` flag means the PRE-update-D fused step;
+        # clear the preset's fused_seq default so the two never collide
+        # (mutually exclusive) and `fused=0` measures plain sequential.
+        # Opt back in with --set loss.fused_seq=True.
+        "loss.fused_seq": False,
     }
     if args.res:
         over["model.resolution"] = args.res

@@ -31,6 +31,9 @@ def tiny_cfg(**over):
         "model.mapping_layers": 2,
         "schedule.progressive": False,
         "run.compute_dtype": "float32",
+        # fused_seq is the PRESET default as of r3; this file A/Bs it
+        # against the plain sequential step, so the base pins it OFF.
+        "loss.fused_seq": False,
     }
     base.update(over)
     cfg = get_config("stylegan-256", **base)
@@ -111,6 +114,29 @@ def test_fused_seq_chunked_matches_singles():
 
     assert_states_equal(state_s, state_c)
     assert int(state_c.step) == int(state_s.step) == 4
+
+
+def test_fused_seq_composes_with_pl():
+    """The stylegan2-256 preset defaults fused_seq=True WITH path-length
+    regularization; the interleaved PL cadence must run and stay finite,
+    and the PL running mean must move off its init."""
+    cfg = tiny_cfg(**{"loss.fused_seq": True, "loss.penalty_every": 4,
+                      "loss.pl_weight": 2.0, "loss.pl_every": 2})
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_lazy_stepper(cfg, phase, make_single_step)
+    rng = np.random.RandomState(3)
+    saw_pl = False
+    for i in range(4):
+        b = rng.randint(0, 256, (4, 16, 16, 3), np.uint8)
+        state, m = step(state, jnp.asarray(b))
+        if "pl_penalty" in m:
+            saw_pl = True
+            assert np.isfinite(float(m["pl_penalty"]))
+    assert saw_pl
+    assert np.isfinite(float(state.pl_mean))
+    assert float(state.pl_mean) != 0.0
+    assert np.isfinite(float(m["g_loss"]))
 
 
 def test_fused_seq_excludes_fused():
