@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import ast
+import os
 import sys
 
 
@@ -141,9 +142,7 @@ def main(argv=None) -> int:
     # re-runs and crash-resumed runs skip recompiling every per-phase
     # program — which on a flaky remote-compile link is the difference
     # between a free retry and minutes per attempt.
-    import os as _os
-
-    cache_dir = _os.environ.get("GANLAB_COMPILE_CACHE",
+    cache_dir = os.environ.get("GANLAB_COMPILE_CACHE",
                                 "/tmp/ganlab_jax_cache")
     if cache_dir:
         import jax
@@ -156,7 +155,17 @@ def main(argv=None) -> int:
     if getattr(args, "config", None):
         cfg = load_config(args.config, preset=args.preset)
     else:
-        cfg = get_config(args.preset or "stylegan-256")
+        # A trained workdir carries its full config (Trainer writes
+        # config.json). When neither --preset nor --config is given,
+        # rebuild from that — a bare `ganlab sample --workdir RUN` must
+        # reconstruct the exact trained model, not the default preset.
+        saved = os.path.join(getattr(args, "workdir", ""), "config.json") \
+            if getattr(args, "workdir", None) else None
+        if args.preset is None and saved and os.path.exists(saved):
+            print(f"config: {saved}", flush=True)
+            cfg = load_config(saved)
+        else:
+            cfg = get_config(args.preset or "stylegan-256")
     cfg = apply_overrides(cfg, _parse_overrides(args.sets))
 
     if args.cmd == "train":
@@ -206,7 +215,6 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "interpolate":
-        import os
 
         import jax
         import numpy as np
@@ -237,7 +245,6 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "mixgrid":
-        import os
 
         import jax
         import jax.numpy as jnp
@@ -307,7 +314,6 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "export":
-        import os
 
         from ganlab_tpu.export import export_sampler
         from ganlab_tpu.train.loop import Trainer
@@ -335,7 +341,6 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "project":
-        import os
 
         import jax
         import numpy as np

@@ -65,6 +65,14 @@ class Trainer:
             os.path.join(workdir, cfg.run.checkpoint_dir),
             keep=cfg.run.keep_checkpoints)
         self.logger = MetricLogger(workdir, tensorboard=cfg.run.tensorboard)
+        if jax.process_index() == 0:
+            # Persist the run's FULL config next to its checkpoints: the
+            # post-training CLI commands (sample/eval-fid/interpolate/
+            # mixgrid/project/export) reload it from the workdir, so a
+            # bare `--workdir` always rebuilds the exact trained model.
+            from ganlab_tpu.config import save_config
+
+            save_config(cfg, os.path.join(workdir, "config.json"))
 
         state = create_train_state(cfg, jax.random.PRNGKey(cfg.run.seed))
         restored = self.ckpt.restore(state)

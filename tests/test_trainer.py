@@ -194,16 +194,15 @@ def test_cli_train_and_sample(tmp_path):
     samples = os.listdir(os.path.join(workdir, "samples"))
     assert any(f.endswith(".png") for f in samples)
 
-    # `sample --out` writes the grid to the requested path.
+    # The trained workdir carries its full config; a BARE `sample
+    # --workdir` (no --preset/--set) must rebuild the exact trained
+    # model from it (regression: it used to rebuild the default
+    # stylegan-256 preset and fail the checkpoint restore), and
+    # `--out` writes the grid to the requested path.
+    assert os.path.exists(os.path.join(workdir, "config.json"))
     out_png = str(tmp_path / "grid.png")
-    rc = main([
-        "sample", "--preset", "resnetgan-cifar10",
-        "--workdir", workdir, "--num", "4", "--out", out_png,
-        "--set", "model.resolution=16",
-        "--set", "model.latent_dim=8",
-        "--set", "model.base_channels=8",
-        "--set", "run.compute_dtype=float32",
-    ])
+    rc = main(["sample", "--workdir", workdir, "--num", "4",
+               "--out", out_png])
     assert rc == 0
     assert os.path.exists(out_png)
 
