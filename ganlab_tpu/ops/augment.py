@@ -25,11 +25,22 @@ scalar: adapting it never recompiles, and ``p = 0`` is the exact
 identity. Gradients flow through both the gather and the einsum, which
 is what lets the G loss backpropagate through augmented fakes.
 
-Deviation from the official pipeline: the general geometric category
-(arbitrary rotation/scaling through a wavelet-filtered resample) is not
-implemented — per the paper's ablation (fig. 4) blit+color carries most
-of the benefit, and the resample path is gather-heavy on TPU. The
-``categories`` string accepts "b", "c", or "bc" (default).
+* **geometric transforms** (isotropic/anisotropic scaling, arbitrary
+  rotation, fractional translation) compose into ONE per-sample inverse
+  affine on the same sampling coordinates and ride the same gather —
+  upgraded to a 4-tap bilinear when the category is enabled. Bilinear
+  interpolation at integer coordinates is exact, so samples whose
+  geometric gates don't fire (and all blit-only samples) are untouched
+  bit-for-bit by the upgrade.
+
+Deviation from the official pipeline: the official implementation
+resamples through orthonormal wavelet filtering to keep the augmented
+distribution alias-free; here geometric sampling is bilinear. The drawn
+scale factors are mild (2^N(0,0.2) ~ [0.7, 1.4] at 2 sigma), where
+bilinear aliasing is small; the trade is documented rather than hidden.
+The ``categories`` string accepts any non-empty subset of "bcg"
+(default "bc" — per the paper's ablation, blit+color carries most of
+the benefit).
 """
 
 from __future__ import annotations
@@ -48,6 +59,9 @@ BRIGHTNESS_STD = 0.2
 CONTRAST_STD = 0.5 * math.log(2.0)
 SATURATION_STD = 1.0 * math.log(2.0)
 MAX_TRANSLATE = 0.125          # fraction of the resolution, official value
+SCALE_STD_LOG2 = 0.2           # iso scale ~ 2^N(0, std), official value
+ANISO_STD_LOG2 = 0.2           # aniso ratio ~ 2^N(0, std), official value
+FRAC_TRANSLATE_STD = 0.125     # fractional translate ~ N(0, std*res)
 
 
 class AugParams(NamedTuple):
@@ -61,6 +75,10 @@ class AugParams(NamedTuple):
     trans: jax.Array           # int32 (B, 2): (ty, tx) pixel shifts
     color_mat: jax.Array       # f32 (B, 3, 3)
     color_bias: jax.Array      # f32 (B, 3)
+    # Geometric category: per-sample INVERSE affine (B, 2, 3) mapping
+    # centered output (y, x) to centered input coords; None = the exact
+    # integer-gather path (no bilinear anywhere in the program).
+    geom: jax.Array | None = None
 
 
 def _rotation_about_luma(theta: jax.Array) -> jax.Array:
@@ -74,6 +92,43 @@ def _rotation_about_luma(theta: jax.Array) -> jax.Array:
     c = jnp.cos(theta)[:, None, None]
     s = jnp.sin(theta)[:, None, None]
     return eye * c + K * s + vv * (1.0 - c)
+
+
+def _geom_inverse(key: jax.Array, batch: int, res: int,
+                  p: jax.Array) -> jax.Array:
+    """Per-sample inverse affines (B, 2, 3) for the geometric category.
+
+    Forward transform (about the image center, (y, x) basis):
+    ``A = R(theta) @ diag(r, 1/r) * s`` plus a fractional pixel
+    translation ``t`` — isotropic scale, rotation, anisotropic ratio and
+    translation each gated by Bernoulli(p) with the official ADA draw
+    distributions. Returned is the analytic inverse
+    ``[A^-1 | -A^-1 t]`` so the sampler maps output to input coords.
+    """
+    k_si, k_siv, k_r, k_rv, k_a, k_av, k_t, k_tv = jax.random.split(key, 8)
+
+    def gate(k):
+        return jax.random.bernoulli(k, p, (batch,))
+
+    s = jnp.where(gate(k_si),
+                  jnp.exp2(jax.random.normal(k_siv, (batch,))
+                           * SCALE_STD_LOG2), 1.0)
+    theta = jnp.where(gate(k_r),
+                      jax.random.uniform(k_rv, (batch,), minval=-jnp.pi,
+                                         maxval=jnp.pi), 0.0)
+    r = jnp.where(gate(k_a),
+                  jnp.exp2(jax.random.normal(k_av, (batch,))
+                           * ANISO_STD_LOG2), 1.0)
+    t = jnp.where(gate(k_t)[:, None],
+                  jax.random.normal(k_tv, (batch, 2))
+                  * (FRAC_TRANSLATE_STD * res), 0.0)
+    c, sn = jnp.cos(theta), jnp.sin(theta)
+    # A^-1 = diag(1/r, r) @ R(-theta) / s
+    row0 = jnp.stack([c / r, sn / r], axis=-1)
+    row1 = jnp.stack([-sn * r, c * r], axis=-1)
+    a_inv = jnp.stack([row0, row1], axis=1) / s[:, None, None]
+    b = -jnp.einsum("bij,bj->bi", a_inv, t)
+    return jnp.concatenate([a_inv, b[:, :, None]], axis=-1)
 
 
 def sample_params(key: jax.Array, batch: int, res: int, p: jax.Array,
@@ -140,8 +195,12 @@ def sample_params(key: jax.Array, batch: int, res: int, p: jax.Array,
         mat = sat @ mat
         bias = jnp.einsum("bij,bj->bi", sat, bias)
 
+    # Geometric keys derive from a fold_in so enabling "g" leaves the
+    # blit/color streams (and every existing test oracle) unchanged.
+    geom = _geom_inverse(jax.random.fold_in(key, 0x9E0), batch, res, p) \
+        if "g" in categories else None
     return AugParams(flip=flip, rot_k=rot_k, trans=trans,
-                     color_mat=mat, color_bias=bias)
+                     color_mat=mat, color_bias=bias, geom=geom)
 
 
 def _reflect(idx: jax.Array, res: int) -> jax.Array:
@@ -150,20 +209,11 @@ def _reflect(idx: jax.Array, res: int) -> jax.Array:
     return jnp.where(t >= res, 2 * res - 1 - t, t)
 
 
-def apply_augment(x: jax.Array, params: AugParams) -> jax.Array:
-    """Apply sampled transforms to NHWC images in [-1, 1].
-
-    One gather (blit) + one einsum (color); differentiable wrt ``x``.
-    """
-    b, res = x.shape[0], x.shape[1]
-    assert x.shape[1] == x.shape[2], "square images only"
-
-    # --- blit: compose output->input coordinate maps, then gather once.
-    oy = jnp.broadcast_to(jnp.arange(res)[None, :, None], (b, res, res))
-    ox = jnp.broadcast_to(jnp.arange(res)[None, None, :], (b, res, res))
-    # inverse translation (reflect-padded below)
-    iy = oy - params.trans[:, 0, None, None]
-    ix = ox - params.trans[:, 1, None, None]
+def _blit_inverse(iy, ix, params: AugParams, res: int):
+    """Inverse blit coordinate chain (works on int32 OR float coords)."""
+    # inverse translation (reflect-padded by the caller)
+    iy = iy - params.trans[:, 0, None, None]
+    ix = ix - params.trans[:, 1, None, None]
     # inverse of k CCW quarter-turns, selected per sample
     k = params.rot_k[:, None, None]
     iy, ix = (
@@ -173,9 +223,52 @@ def apply_augment(x: jax.Array, params: AugParams) -> jax.Array:
                    default=res - 1 - iy),
     )
     ix = jnp.where(params.flip[:, None, None], res - 1 - ix, ix)
-    iy, ix = _reflect(iy, res), _reflect(ix, res)
+    return iy, ix
+
+
+def apply_augment(x: jax.Array, params: AugParams) -> jax.Array:
+    """Apply sampled transforms to NHWC images in [-1, 1].
+
+    One gather (blit; 4-tap bilinear when the geometric category is
+    active) + one einsum (color); differentiable wrt ``x``.
+    """
+    b, res = x.shape[0], x.shape[1]
+    assert x.shape[1] == x.shape[2], "square images only"
+
+    # --- compose output->input coordinate maps, then gather once.
+    oy = jnp.broadcast_to(jnp.arange(res)[None, :, None], (b, res, res))
+    ox = jnp.broadcast_to(jnp.arange(res)[None, None, :], (b, res, res))
     bi = jnp.arange(b)[:, None, None]
-    out = x[bi, iy, ix]
+    if params.geom is None:
+        iy, ix = _blit_inverse(oy, ox, params, res)
+        iy, ix = _reflect(iy, res), _reflect(ix, res)
+        out = x[bi, iy, ix]
+    else:
+        # Geometric inverse on centered float coords (forward pipeline
+        # is blit -> geom -> color, so sampling applies geom^-1 first,
+        # then the blit inverse), 4-tap bilinear with reflect padding.
+        # Identity affines land exactly on integer coordinates (weights
+        # 0/1), so blit-only samples match the integer path bit-for-bit.
+        c0 = jnp.float32((res - 1) / 2.0)
+        vy = oy.astype(jnp.float32) - c0
+        vx = ox.astype(jnp.float32) - c0
+        g = params.geom
+        fy = g[:, 0, 0, None, None] * vy + g[:, 0, 1, None, None] * vx \
+            + g[:, 0, 2, None, None] + c0
+        fx = g[:, 1, 0, None, None] * vy + g[:, 1, 1, None, None] * vx \
+            + g[:, 1, 2, None, None] + c0
+        fy, fx = _blit_inverse(fy, fx, params, res)
+        y0f, x0f = jnp.floor(fy), jnp.floor(fx)
+        wy = (fy - y0f).astype(x.dtype)[..., None]
+        wx = (fx - x0f).astype(x.dtype)[..., None]
+        y0 = y0f.astype(jnp.int32)
+        x0 = x0f.astype(jnp.int32)
+        y0r, y1r = _reflect(y0, res), _reflect(y0 + 1, res)
+        x0r, x1r = _reflect(x0, res), _reflect(x0 + 1, res)
+        out = (x[bi, y0r, x0r] * (1 - wy) * (1 - wx)
+               + x[bi, y0r, x1r] * (1 - wy) * wx
+               + x[bi, y1r, x0r] * wy * (1 - wx)
+               + x[bi, y1r, x1r] * wy * wx)
 
     # --- color: one per-sample 3x3 + bias.
     mat = params.color_mat.astype(out.dtype)

@@ -132,6 +132,116 @@ class TestAugmentMath:
         assert y.min() >= -1.0 - 1e-6 and y.max() <= 1.0 + 1e-6
 
 
+def _geom(b, rows):
+    return jnp.broadcast_to(jnp.asarray(rows, jnp.float32), (b, 2, 3))
+
+
+_EYE23 = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+
+
+class TestGeometricAugment:
+    """The 'g' category: per-sample inverse affines through the 4-tap
+    bilinear sampler (ops/augment.py::_geom_inverse / apply_augment)."""
+
+    def test_p_zero_is_identity_bcg(self):
+        x = _imgs()
+        y = augment(x, 0.0, jax.random.PRNGKey(1), categories="bcg")
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_identity_affine_exact_through_bilinear(self):
+        """Bilinear at integer coords is exact: enabling 'g' leaves
+        untransformed samples bit-identical to the integer path."""
+        x = _imgs()
+        p = _identity_params(4, 16)._replace(geom=_geom(4, _EYE23))
+        np.testing.assert_array_equal(np.asarray(apply_augment(x, p)),
+                                      np.asarray(x))
+
+    def test_quarter_turn_affine_matches_blit_rot90(self):
+        """A_inv = [[0,-1],[1,0]] about the center IS the rot_k=1 blit
+        (both land on integer coords, so equality is exact)."""
+        x = _imgs()
+        p_g = _identity_params(4, 16)._replace(
+            geom=_geom(4, [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0]]))
+        p_b = _identity_params(4, 16)._replace(
+            rot_k=jnp.ones((4,), jnp.int32))
+        np.testing.assert_allclose(np.asarray(apply_augment(x, p_g)),
+                                   np.asarray(apply_augment(x, p_b)),
+                                   atol=1e-5)
+
+    def test_integer_translation_affine_matches_blit(self):
+        x = _imgs()
+        p_g = _identity_params(4, 16)._replace(
+            geom=_geom(4, [[1.0, 0.0, -2.0], [0.0, 1.0, -3.0]]))
+        p_b = _identity_params(4, 16)._replace(
+            trans=jnp.broadcast_to(jnp.asarray([2, 3], jnp.int32), (4, 2)))
+        np.testing.assert_allclose(np.asarray(apply_augment(x, p_g)),
+                                   np.asarray(apply_augment(x, p_b)),
+                                   atol=1e-5)
+
+    def test_bilinear_on_linear_ramp_matches_affine(self):
+        """Bilinear interpolation of a linear function is exact: an
+        isotropic zoom of a y-ramp must read exactly the mapped
+        coordinate wherever no reflection occurs."""
+        b, res, s = 2, 16, 1.3
+        ramp = jnp.broadcast_to(
+            jnp.arange(res, dtype=jnp.float32)[None, :, None, None],
+            (b, res, res, 3))
+        p = _identity_params(b, res)._replace(
+            geom=_geom(b, [[1.0 / s, 0.0, 0.0], [0.0, 1.0 / s, 0.0]]))
+        out = np.asarray(apply_augment(ramp, p))
+        c0 = (res - 1) / 2.0
+        fy = (np.arange(res) - c0) / s + c0
+        interior = (fy >= 0) & (fy <= res - 1)
+        expect = np.broadcast_to(fy[None, :, None, None],
+                                 out.shape)[:, interior]
+        np.testing.assert_allclose(out[:, interior], expect, atol=1e-4)
+
+    def test_sampled_geom_respects_categories_and_p(self):
+        k = jax.random.PRNGKey(0)
+        assert sample_params(k, 8, 16, 1.0, categories="bc").geom is None
+        pg = sample_params(k, 64, 16, 1.0, categories="g")
+        eye = np.concatenate([np.eye(2), np.zeros((2, 1))], -1)
+        dev = np.abs(np.asarray(pg.geom) - eye).sum(axis=(1, 2))
+        assert (dev > 1e-3).any()
+        # blit/color untouched by the 'g' draws
+        assert not np.asarray(pg.flip).any()
+        np.testing.assert_allclose(np.asarray(pg.color_mat),
+                                   np.broadcast_to(np.eye(3), (64, 3, 3)))
+        p0 = sample_params(k, 8, 16, 0.0, categories="g")
+        np.testing.assert_allclose(np.asarray(p0.geom),
+                                   np.broadcast_to(eye, (8, 2, 3)),
+                                   atol=1e-6)
+
+    def test_geom_draws_leave_bc_streams_unchanged(self):
+        """Enabling 'g' must not shift the blit/color random streams
+        (geom keys derive from a fold_in of the same key)."""
+        k = jax.random.PRNGKey(3)
+        a = sample_params(k, 16, 16, 0.7, categories="bc")
+        b = sample_params(k, 16, 16, 0.7, categories="bcg")
+        for fld in ("flip", "rot_k", "trans", "color_mat", "color_bias"):
+            np.testing.assert_array_equal(np.asarray(getattr(a, fld)),
+                                          np.asarray(getattr(b, fld)))
+
+    def test_gradients_flow_through_bilinear(self):
+        x = _imgs()
+        g = jax.grad(lambda x: jnp.sum(
+            augment(x, 0.9, jax.random.PRNGKey(3), categories="g") ** 2))(x)
+        g = np.asarray(g)
+        assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+    def test_train_step_runs_with_geom(self):
+        cfg = _ada_cfg(False, **{"aug.categories": "bcg"})
+        phase = build_phases(cfg.schedule, cfg.model)[0]
+        st = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = jax.jit(build_train_step(cfg, phase,
+                                        penalty_override=True))
+        batch = np.random.default_rng(0).integers(
+            0, 255, (4, 16, 16, 3), dtype=np.uint8)
+        st, m = step(st, batch)
+        assert np.isfinite(float(m["d_loss"]))
+        assert np.isfinite(float(m["g_loss"]))
+
+
 def _ada_cfg(fused, **over):
     base = {
         "model.resolution": 16, "model.fmap_base": 128,
