@@ -61,11 +61,17 @@ RECIPES = {
     # Measured Finding 5 (BASELINE.md) -> promoted to the preset default.
     "fusedseq": {"loss.penalty_every": 16, "loss.fused_g_step": False,
                  "loss.fused_seq": True},
-    # ADA measurement arm (vs parity, on a SMALL pool via --num-images):
-    # quantifies the augmentation extension's effect in the D-overfitting
-    # regime it was built for.
+    # ADA measurement arms (vs parity, on a SMALL pool via --num-images):
+    # quantify the augmentation extension's effect in the D-overfitting
+    # regime it was built for — blit+color, and with the geometric
+    # category on top ("adag"). Scoring is GENERALIZATION-based (real
+    # features always come from the full distribution), so memorizing
+    # the pool cannot score well.
     "ada": {"loss.penalty_every": 1, "loss.fused_g_step": False,
             "loss.fused_seq": False, "aug.mode": "ada", "aug.p_init": 0.0},
+    "adag": {"loss.penalty_every": 1, "loss.fused_g_step": False,
+             "loss.fused_seq": False, "aug.mode": "ada", "aug.p_init": 0.0,
+             "aug.categories": "bcg"},
 }
 
 

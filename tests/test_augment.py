@@ -140,8 +140,9 @@ _EYE23 = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
 
 
 class TestGeometricAugment:
-    """The 'g' category: per-sample inverse affines through the 4-tap
-    bilinear sampler (ops/augment.py::_geom_inverse / apply_augment)."""
+    """The 'g' category: per-sample inverse affines through the
+    two-pass shear resampler (ops/augment.py::_geom_inverse /
+    _apply_geom)."""
 
     def test_p_zero_is_identity_bcg(self):
         x = _imgs()
@@ -221,6 +222,64 @@ class TestGeometricAugment:
         for fld in ("flip", "rot_k", "trans", "color_mat", "color_bias"):
             np.testing.assert_array_equal(np.asarray(getattr(a, fld)),
                                           np.asarray(getattr(b, fld)))
+
+    def test_rotated_linear_ramp_exact(self):
+        """Two-pass shear resampling (like direct bilinear) is EXACT on
+        images linear in the coordinates — including under rotations
+        that exercise the conditioning quarter-turn and both shear
+        passes. The interior of a rotated ramp must read the mapped
+        coordinate to fp accuracy."""
+        b, res = 2, 16
+        c0 = (res - 1) / 2.0
+        yy, xx = np.meshgrid(np.arange(res) - c0, np.arange(res) - c0,
+                             indexing="ij")
+        ramp = jnp.asarray(np.broadcast_to(
+            (0.25 * yy + 0.1 * xx)[None, :, :, None], (b, res, res, 3)),
+            jnp.float32)
+        for theta in (0.4, 1.2, 2.0, -2.8):   # spans all 4 quadrants
+            c, s = np.cos(theta), np.sin(theta)
+            a_inv = [[c, s, 0.0], [-s, c, 0.0]]
+            p = _identity_params(b, res)._replace(geom=_geom(b, a_inv))
+            out = np.asarray(apply_augment(ramp, p))
+            fy = c * yy + s * xx
+            fx = -s * yy + c * xx
+            interior = (np.abs(fy) <= c0 - 1) & (np.abs(fx) <= c0 - 1) \
+                & (np.abs(yy) <= c0 - 1) & (np.abs(xx) <= c0 - 1)
+            expect = 0.25 * fy + 0.1 * fx
+            np.testing.assert_allclose(
+                out[0, :, :, 0][interior], expect[interior], atol=1e-4,
+                err_msg=f"theta={theta}")
+
+    def test_rotation_matches_direct_bilinear_oracle_on_smooth_blob(self):
+        """On a smooth Gaussian blob a 35° rotation through the two-pass
+        path must agree with a direct 4-tap bilinear numpy oracle to the
+        interpolation-error scale (the two filters differ only in their
+        second-order terms)."""
+        res, sig, theta = 32, 4.0, 0.6
+        c0 = (res - 1) / 2.0
+        yy, xx = np.meshgrid(np.arange(res) - c0, np.arange(res) - c0,
+                             indexing="ij")
+        blob = np.exp(-(yy**2 + xx**2) / (2 * sig**2)).astype(np.float32)
+        x = jnp.asarray(np.broadcast_to(blob[None, :, :, None],
+                                        (1, res, res, 3)))
+        c, s = np.cos(theta), np.sin(theta)
+        p = _identity_params(1, res)._replace(
+            geom=_geom(1, [[c, s, 0.0], [-s, c, 0.0]]))
+        out = np.asarray(apply_augment(x, p))[0, :, :, 0]
+        # numpy direct bilinear oracle with per-tap reflect
+        fy, fx = c * yy + s * xx + c0, -s * yy + c * xx + c0
+        y0, x0 = np.floor(fy).astype(int), np.floor(fx).astype(int)
+        wy, wx = fy - y0, fx - x0
+
+        def refl(i):
+            t = np.mod(i, 2 * res)
+            return np.where(t >= res, 2 * res - 1 - t, t)
+
+        oracle = (blob[refl(y0), refl(x0)] * (1 - wy) * (1 - wx)
+                  + blob[refl(y0), refl(x0 + 1)] * (1 - wy) * wx
+                  + blob[refl(y0 + 1), refl(x0)] * wy * (1 - wx)
+                  + blob[refl(y0 + 1), refl(x0 + 1)] * wy * wx)
+        assert np.max(np.abs(out - oracle)) < 0.02
 
     def test_gradients_flow_through_bilinear(self):
         x = _imgs()
