@@ -61,6 +61,9 @@ BRIGHTNESS_STD = 0.2
 CONTRAST_STD = 0.5 * math.log(2.0)
 SATURATION_STD = 1.0 * math.log(2.0)
 MAX_TRANSLATE = 0.125          # fraction of the resolution, official value
+# Row-block the shear passes when the one-hot tensor would exceed this
+# (tests patch it to force the blocked path at tiny shapes).
+ONEHOT_BYTES_LIMIT = 512 * 1024 * 1024
 SCALE_STD_LOG2 = 0.2           # iso scale ~ 2^N(0, std), official value
 ANISO_STD_LOG2 = 0.2           # aniso ratio ~ 2^N(0, std), official value
 FRAC_TRANSLATE_STD = 0.125     # fractional translate ~ N(0, std*res)
@@ -263,12 +266,39 @@ def _resample_pass(x: jax.Array, f: jax.Array, res: int,
     w = (f - jnp.floor(f)).astype(jnp.float32)
     i0r, i1r = _reflect(i0, res), _reflect(i0 + 1, res)
     s = jnp.arange(res, dtype=jnp.int32)
-    weights = ((1.0 - w)[..., None] * (s == i0r[..., None])
-               + w[..., None] * (s == i1r[..., None])).astype(x.dtype)
+
+    def interp(w_, i0_, i1_, src):
+        weights = ((1.0 - w_)[..., None] * (s == i0_[..., None])
+                   + w_[..., None] * (s == i1_[..., None])).astype(src.dtype)
+        if axis == 2:
+            return jnp.einsum("byxs,bysc->byxc", weights, src)
+        return jnp.einsum("bysx,bsxc->byxc",
+                          jnp.moveaxis(weights, -1, 2), src)
+
+    # The one-hot tensor is (B, H, W, res); above ~512^2 its residency
+    # (if XLA materializes the fusion) threatens HBM, so scan over
+    # output-row blocks. For the x-pass each output row reads only its
+    # own input row, so the source blocks along with the weights; for
+    # the y-pass every output row may read any input row, so the source
+    # stays whole and only weights/outputs are blocked.
+    b = x.shape[0]
+    if b * res ** 3 * x.dtype.itemsize <= ONEHOT_BYTES_LIMIT:
+        return interp(w, i0r, i1r, x)
+    blk = max(ONEHOT_BYTES_LIMIT // (b * res * res * x.dtype.itemsize), 1)
+    blk = next(bk for bk in range(blk, 0, -1) if res % bk == 0)
+    nb = res // blk
+
+    resh = lambda t: t.reshape(b, nb, blk, res).swapaxes(0, 1)
     if axis == 2:
-        return jnp.einsum("byxs,bysc->byxc", weights, x)
-    return jnp.einsum("bysx,bsxc->byxc",
-                      jnp.moveaxis(weights, -1, 2), x)
+        xs = (resh(w), resh(i0r), resh(i1r),
+              x.reshape(b, nb, blk, res, -1).swapaxes(0, 1))
+        body = lambda _, ws: (None, interp(*ws))
+    else:
+        xs = (resh(w), resh(i0r), resh(i1r))
+        body = lambda _, ws: (None, interp(*ws, x))  # x closed over, whole
+    _, out = jax.lax.scan(body, None, xs)
+    # out: (nb, B, blk, res, C) -> (B, res, res, C)
+    return out.swapaxes(0, 1).reshape(b, res, res, x.shape[-1])
 
 
 def _apply_geom(x: jax.Array, geom: jax.Array, res: int) -> jax.Array:

@@ -281,6 +281,27 @@ class TestGeometricAugment:
                   + blob[refl(y0 + 1), refl(x0 + 1)] * wy * wx)
         assert np.max(np.abs(out - oracle)) < 0.02
 
+    def test_row_blocked_pass_matches_whole(self, monkeypatch):
+        """Above ONEHOT_BYTES_LIMIT the shear passes scan over row
+        blocks (HBM guard for 512^2+). Forcing the blocked path at a
+        tiny shape must reproduce the whole-tensor path bitwise."""
+        from ganlab_tpu.ops import augment as aug_mod
+        x = _imgs()
+        key = jax.random.PRNGKey(7)
+        p = sample_params(key, 4, 16, 1.0, categories="bcg")
+        whole = np.asarray(apply_augment(x, p))
+        monkeypatch.setattr(aug_mod, "ONEHOT_BYTES_LIMIT", 1)
+        blocked = np.asarray(apply_augment(x, p))
+        np.testing.assert_array_equal(whole, blocked)
+        # gradients agree too (einsum VJP under the scan)
+        monkeypatch.setattr(aug_mod, "ONEHOT_BYTES_LIMIT", 1)
+        g_blk = np.asarray(jax.grad(
+            lambda xx: jnp.sum(apply_augment(xx, p) ** 2))(x))
+        monkeypatch.setattr(aug_mod, "ONEHOT_BYTES_LIMIT", 1 << 40)
+        g_whole = np.asarray(jax.grad(
+            lambda xx: jnp.sum(apply_augment(xx, p) ** 2))(x))
+        np.testing.assert_allclose(g_blk, g_whole, rtol=1e-6, atol=1e-6)
+
     def test_gradients_flow_through_bilinear(self):
         x = _imgs()
         g = jax.grad(lambda x: jnp.sum(
