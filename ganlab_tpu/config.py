@@ -179,6 +179,17 @@ class OptimConfig:
     # loss.penalty_every and to G via loss.pl_every (train/state.py::
     # make_optimizers). False = raw hyperparameters (for A/Bs).
     lazy_adjust: bool = True
+    # Gradient accumulation: microbatches per optimizer step. The batch
+    # schedule stays the per-device MICRObatch; each step consumes
+    # grad_accum of them sequentially (a lax.scan whose carry is the
+    # gradient sum, so activation memory stays ~1 microbatch) and the
+    # semantics are exactly sequential DP: per-microbatch mbstd/latents/
+    # penalties, averaged grads/metrics/w-avg, microbatch index folded
+    # into the sampling keys where DP folds axis_index. grad_accum=A on
+    # one device reproduces a DP run over A devices (tested); under DP
+    # the global batch per step is micro x A x n_devices. Requires a
+    # sequential recipe (fused_seq ok, fused_g_step not).
+    grad_accum: int = 1
     # Reinitialize Adam moments at progressive phase boundaries (the
     # reference rebuilds/extends optimizers on growth, SURVEY.md:207).
     # Default False: stale moments on so-far-unused params are zero and the
@@ -193,6 +204,8 @@ class OptimConfig:
         if self.ema_rampup is not None and not (self.ema_kimg
                                                 and self.ema_kimg > 0):
             raise ValueError("optim.ema_rampup requires optim.ema_kimg")
+        if self.grad_accum < 1:
+            raise ValueError("optim.grad_accum must be >= 1")
 
     def ema_beta_for(self, global_batch: int) -> float:
         """Per-step EMA decay for a given global batch (see ema_kimg)."""

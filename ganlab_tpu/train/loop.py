@@ -195,12 +195,15 @@ class Trainer:
             step_fn = self._step_fn(phase)
             # This host feeds its local devices' rows; the device-side
             # shown-image counter (and therefore fade-in alpha) advances by
-            # the GLOBAL batch per step.
-            feed_batch = phase.batch_size * self.local_dev
-            global_batch = phase.batch_size * self.n_dev
+            # the GLOBAL batch per step. With gradient accumulation each
+            # step consumes grad_accum microbatches (steps.py::step_accum).
+            accum = max(1, cfg.optim.grad_accum)
+            feed_batch = phase.batch_size * accum * self.local_dev
+            global_batch = phase.batch_size * accum * self.n_dev
             print(f"phase {phase.index}: res {phase.resolution} {phase.kind} "
                   f"[{phase.start_img}, {phase.end_img}) batch/device "
-                  f"{phase.batch_size} x {self.n_dev} devices", flush=True)
+                  f"{phase.batch_size} x {self.n_dev} devices"
+                  + (f" x {accum} accum" if accum > 1 else ""), flush=True)
 
             chunk = cfg.loss.penalty_every if self.chunking else 1
             place = self._place_stack if chunk > 1 else self._place

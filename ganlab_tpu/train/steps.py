@@ -134,6 +134,7 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
     opt_g, opt_d = make_optimizers(cfg, resolution=phase.resolution)
     dtype = _dtype_of(cfg)
     lc = cfg.loss
+    accum = max(1, cfg.optim.grad_accum)
     d_loss_fn_base = L.D_LOSSES[lc.loss]
     g_loss_fn_base = L.G_LOSSES[lc.loss]
     is_style = cfg.model.model in ("stylegan", "stylegan2")
@@ -181,12 +182,15 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
     pl_weight = lc.pl_weight * (lc.pl_every if pl_override is True else 1)
     zdim = cfg.model.latent_dim
 
-    def pl_term(params_g, pl_mean, k_pl, alpha, batch):
+    def pl_term(params_g, pl_mean, k_pl, alpha, batch, decay=None):
         """(penalty, new_pl_mean): E[(||J_w^T y|| - a)^2] with a = running
         mean of the lengths (StyleGAN2 app. B). Fresh latents at
         batch/pl_batch_shrink; grads wrt the per-layer styles via
-        grad-of-grad, like the R1 path."""
+        grad-of-grad, like the R1 path. ``decay`` overrides lc.pl_decay
+        (the accumulation path chains one update per microbatch and scales
+        the per-microbatch decay so the per-STEP horizon is unchanged)."""
         nb = max(batch // max(lc.pl_batch_shrink, 1), 1)
+        decay = lc.pl_decay if decay is None else decay
         kz, kn, ky = jax.random.split(k_pl, 3)
         z = jax.random.normal(kz, (nb, zdim), dtype)
         w = g_model.apply(params_g, z, method="map_latents")
@@ -203,7 +207,7 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         g = jax.grad(img_proj)(ws)
         pl_len = jnp.sqrt(jnp.mean(
             jnp.sum(jnp.square(g.astype(jnp.float32)), axis=2), axis=1))
-        new_mean = pl_mean + jnp.float32(lc.pl_decay) * (
+        new_mean = pl_mean + jnp.float32(decay) * (
             pmean(jnp.mean(pl_len)) - pl_mean)
         new_mean = lax.stop_gradient(new_mean)
         pen = jnp.float32(pl_weight) * jnp.mean(
@@ -520,12 +524,168 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                         pl_mean=aux["pl_mean"], pl_penalty=aux["pl_pen"],
                         ada_p=new_ada_p, ada_rt=ada_rt)
 
+    def step_accum(state: TrainState, real_u8) -> tuple[TrainState, dict]:
+        """Gradient accumulation (optim.grad_accum = A > 1): one optimizer
+        step over A sequential microbatches.
+
+        Semantics are EXACTLY sequential data parallelism: each microbatch
+        is the per-device batch (minibatch-stddev, latents, penalties all
+        per-microbatch), gradients/metrics/w̄ are averaged over the A
+        microbatches like DP's pmean over devices, and the RNG folds the
+        microbatch index into the sampling keys precisely where DP folds
+        ``axis_index`` — so accumulation over A microbatches reproduces a
+        DP run over A devices (tested to tolerance in
+        tests/test_grad_accum.py). Under DP the two compose: the global
+        batch per step is micro x A x n_devices.
+
+        The A backward passes run as a ``lax.scan`` whose carry is the
+        gradient sum — one microbatch's activations are live at a time,
+        which is the point: A x the effective batch at ~1x the activation
+        memory. The only PL deviation from the DP analog is documented in
+        pl_term (a chained running mean with per-step-equivalent decay).
+        """
+        total = real_u8.shape[0]
+        micro = total // accum
+        stack = real_u8.reshape((accum, micro) + real_u8.shape[1:])
+        batch = micro * accum  # per-device images consumed this step
+        alpha = alpha_of(state.shown_imgs)
+        n_base = 7 if pl_active else 6
+        keys, next_rng = derive_keys(state,
+                                     n_base + (3 if aug_active else 0))
+        p_aug = aug_p_of(state)
+
+        def micro_keys(j):
+            # The microbatch fold mirrors derive_keys' device fold (and
+            # composes with it under DP: fold_in(fold_in(k, dev), j)).
+            return jax.vmap(lambda k: jax.random.fold_in(k, j))(keys)
+
+        # -------------------------------------------------------------- D
+        def d_micro(params_d, real_u8_j, ks):
+            real = _preprocess(real_u8_j, cfg.data.hflip, ks[0], dtype)
+            fake_d, _ = gen_forward(state.params_g, ks[1], ks[2], alpha,
+                                    micro)
+            fake_d = lax.stop_gradient(fake_d)
+            if aug_active:
+                real = maybe_aug(real, ks[n_base], p_aug)
+                fake_d = maybe_aug(fake_d, ks[n_base + 1], p_aug)
+
+            def d_objective(params_d):
+                real_s = d_apply(params_d, real, alpha)
+                fake_s = d_apply(params_d, fake_d, alpha)
+                loss = d_loss_fn_base(real_s, fake_s)
+                penalty = penalty_term(params_d, alpha, real, fake_d,
+                                       ks[3], real_s)
+                aux = {"d_loss": loss, "penalty": penalty,
+                       "real_score": jnp.mean(real_s),
+                       "fake_score": jnp.mean(fake_s)}
+                if ada_active:
+                    aux["rt"] = jnp.mean(jnp.sign(real_s))
+                return loss + penalty, aux
+
+            return jax.value_and_grad(d_objective, has_aux=True)(params_d)
+
+        def d_body(gsum, inp):
+            real_j, j = inp
+            (_, aux), g = d_micro(state.params_d, real_j, micro_keys(j))
+            return jax.tree.map(jnp.add, gsum, g), aux
+
+        d_gsum, d_auxs = lax.scan(
+            d_body, jax.tree.map(jnp.zeros_like, state.params_d),
+            (stack, jnp.arange(accum)))
+        d_grads = pmean(jax.tree.map(lambda g: g / accum, d_gsum))
+        d_aux = jax.tree.map(lambda a: jnp.mean(a, axis=0), d_auxs)
+        d_updates, new_opt_d = opt_d.update(d_grads, state.opt_d,
+                                            state.params_d)
+        new_params_d = optax.apply_updates(state.params_d, d_updates)
+        if ada_active:
+            ada_rt = pmean(d_aux.pop("rt"))
+            new_ada_p = ada_update(state, ada_rt, batch)
+        else:
+            ada_rt, new_ada_p = 0.0, None
+
+        # -------------------------------------------------------------- G
+        # Per-step-equivalent chained PL decay: (1-d_eff)^A = 1-d.
+        pl_micro_decay = 1.0 - (1.0 - lc.pl_decay) ** (1.0 / accum)
+
+        def g_micro(params_g, pl_mean, ks):
+            k_zg, k_ng = (ks[1], ks[2]) if lc.fused_seq else (ks[4], ks[5])
+            k_pl = ks[6] if pl_active else None
+
+            def g_objective(params_g):
+                fake, w_mean = gen_forward(params_g, k_zg, k_ng, alpha,
+                                           micro)
+                if aug_active:
+                    fake = maybe_aug(fake, ks[n_base + 2], p_aug)
+                fake_s = d_apply(new_params_d, fake, alpha)
+                g_loss = g_loss_fn_base(fake_s)
+                if not with_pl:
+                    return g_loss, (w_mean, pl_mean, jnp.float32(0.0),
+                                    g_loss)
+                pl_pen, new_pl = pl_term(params_g, pl_mean, k_pl, alpha,
+                                         micro, decay=pl_micro_decay)
+                return g_loss + pl_pen, (w_mean, new_pl, pl_pen, g_loss)
+
+            return jax.value_and_grad(g_objective, has_aux=True)(params_g)
+
+        def run_g_update(operand):
+            params_g, opt_g_state, ema, w_avg, pl_mean = operand
+
+            def g_body(carry, j):
+                gsum, pl_m = carry
+                ((_, (w_mean, new_pl, pl_pen, g_loss)), g) = g_micro(
+                    params_g, pl_m, micro_keys(j))
+                return ((jax.tree.map(jnp.add, gsum, g), new_pl),
+                        (w_mean, pl_pen, g_loss))
+
+            (g_gsum, new_pl), (w_means, pl_pens, g_losses) = lax.scan(
+                g_body, (jax.tree.map(jnp.zeros_like, params_g), pl_mean),
+                jnp.arange(accum))
+            g_grads = pmean(jax.tree.map(lambda g: g / accum, g_gsum))
+            g_updates, new_opt_g = opt_g.update(g_grads, opt_g_state,
+                                                params_g)
+            new_params_g = optax.apply_updates(params_g, g_updates)
+            new_ema = _ema_update(ema, new_params_g,
+                                  ema_beta(batch, state.shown_imgs))
+            w_mean = (jnp.mean(w_means, axis=0) if w_means is not None
+                      else None)
+            new_w_avg = update_w_avg(w_avg, w_mean)
+            return (new_params_g, new_opt_g, new_ema, new_w_avg, new_pl,
+                    jnp.mean(g_losses), jnp.mean(pl_pens))
+
+        operand = (state.params_g, state.opt_g, state.params_ema,
+                   state.w_avg, state.pl_mean)
+        n_critic = max(1, lc.d_steps_per_g)
+        if n_critic == 1:
+            (new_params_g, new_opt_g, new_ema, new_w_avg, new_pl,
+             g_loss, pl_pen) = run_g_update(operand)
+        else:
+            do_g = (state.step % n_critic) == (n_critic - 1)
+            (new_params_g, new_opt_g, new_ema, new_w_avg, new_pl,
+             g_loss, pl_pen) = lax.cond(
+                do_g,
+                run_g_update,
+                lambda op: (*op, jnp.float32(0.0), jnp.float32(0.0)),
+                operand)
+
+        return assemble(state, params_g=new_params_g, params_d=new_params_d,
+                        ema=new_ema, opt_g_state=new_opt_g,
+                        opt_d_state=new_opt_d, w_avg=new_w_avg,
+                        next_rng=next_rng, batch=batch, alpha=alpha,
+                        aux=d_aux, g_loss=g_loss, pl_mean=new_pl,
+                        pl_penalty=pl_pen, ada_p=new_ada_p, ada_rt=ada_rt)
+
     if lc.fused_g_step:
         assert not lc.fused_seq, \
             "fused_g_step and fused_seq are mutually exclusive"
         assert lc.d_steps_per_g == 1, \
             "fused_g_step requires d_steps_per_g == 1"
+        if accum > 1:
+            raise ValueError(
+                "optim.grad_accum > 1 requires a sequential recipe "
+                "(loss.fused_g_step=False; fused_seq is supported)")
         return step_fused
+    if accum > 1:
+        return step_accum
     return step
 
 
