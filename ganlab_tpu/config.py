@@ -298,16 +298,18 @@ class AugConfig:
     p_max: float = 0.8
     target: float = 0.6                # official ADA target for r_t
     kimg: float = 500.0                # adaptation speed (official 500)
-    categories: str = "bc"             # blit/color/geom subset (augment.py)
+    categories: str = "bc"             # subset of 'bcgfnu' (augment.py)
 
     def __post_init__(self):
         if self.mode not in ("off", "fixed", "ada"):
             raise ValueError(f"aug.mode {self.mode!r} not in off/fixed/ada")
         if self.mode == "fixed" and not 0.0 < self.p_init <= 1.0:
             raise ValueError("aug.mode='fixed' needs 0 < aug.p_init <= 1")
-        if not set(self.categories) <= {"b", "c", "g"} or not self.categories:
+        if (not set(self.categories) <= set("bcgfnu")
+                or not self.categories):
             raise ValueError(f"aug.categories {self.categories!r}: use a "
-                             "non-empty subset of 'bcg' (blit/color/geom)")
+                             "non-empty subset of 'bcgfnu' (blit/color/"
+                             "geom/filter/noise/cutout)")
 
 
 @dataclass(frozen=True)

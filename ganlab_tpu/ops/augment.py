@@ -40,9 +40,23 @@ distribution alias-free; here geometric sampling is separable two-pass
 linear interpolation. The drawn scale factors are mild (2^N(0,0.2) ~
 [0.7, 1.4] at 2 sigma), where the interpolation error is small; the
 trade is documented rather than hidden.
-The ``categories`` string accepts any non-empty subset of "bcg"
+* **image-space filtering** ("f"): amplify/attenuate one of four
+  octave frequency bands. The official 4-band sym2 wavelet filter bank
+  is composed with per-sample band gains into ONE per-sample separable
+  FIR, applied as two grouped depthwise convs (batch folded into the
+  channel axis, so per-sample kernels cost one conv per axis, no
+  gather). The bank rows sum to a unit impulse, so all-gates-off
+  samples are returned untouched (selected bit-exactly).
+* **additive noise** ("n"): per-sample gated RGB noise, std drawn
+  |N(0, 0.1)| — one fused add.
+* **cutout** ("u" — "c" is taken by color): zero a half-resolution
+  square at a uniform random center — a rank-1 mask multiply, no
+  gather.
+
+The ``categories`` string accepts any non-empty subset of "bcgfnu"
 (default "bc" — per the paper's ablation, blit+color carries most of
-the benefit).
+the benefit). Pipeline order matches the official ADA pipeline:
+blit -> geom -> color -> filter -> noise -> cutout.
 """
 
 from __future__ import annotations
@@ -52,6 +66,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ITU-style luma axis used by official ADA ([1,1,1]/sqrt(3)): luma flip,
 # hue rotation, and saturation all act around this axis in RGB space.
@@ -67,6 +82,39 @@ ONEHOT_BYTES_LIMIT = 512 * 1024 * 1024
 SCALE_STD_LOG2 = 0.2           # iso scale ~ 2^N(0, std), official value
 ANISO_STD_LOG2 = 0.2           # aniso ratio ~ 2^N(0, std), official value
 FRAC_TRANSLATE_STD = 0.125     # fractional translate ~ N(0, std*res)
+IMGFILTER_STD = 1.0            # band gain ~ 2^N(0, std), official value
+NOISE_STD = 0.1                # noise sigma ~ |N(0, std)|, official value
+CUTOUT_SIZE = 0.5              # cutout square side / resolution, official
+
+
+def _build_filter_bank() -> np.ndarray:
+    """The official ADA 4-band frequency filter bank (octave bands).
+
+    sym2 analysis lowpass -> quadrature highpass; the zero-phase product
+    filters ``lo2 = conv(lo, lo[::-1])/2`` and ``hi2`` satisfy
+    ``lo2 + hi2 = delta`` (orthogonal wavelet power complementarity), so
+    the three-level cascade below yields rows that sum EXACTLY to a unit
+    impulse: unit band gains mean identity filtering. Row i isolates the
+    octave around Nyquist/2^(3-i).
+    """
+    lo = np.array([-0.12940952255092145, 0.22414386804185735,
+                   0.836516303737469, 0.48296291314469025])
+    hi = lo * ((-1.0) ** np.arange(lo.size))
+    lo2 = np.convolve(lo, lo[::-1]) / 2.0
+    hi2 = np.convolve(hi, hi[::-1]) / 2.0
+    fb = np.eye(4, 1)                       # (bands, taps), taps grows
+    for i in range(1, 4):
+        # upsample rows x2 (zero interleave), lowpass, add band i's
+        # highpass at the center — the standard wavelet-packet cascade.
+        fb = np.dstack([fb, np.zeros_like(fb)]).reshape(4, -1)[:, :-1]
+        fb = np.stack([np.convolve(row, lo2) for row in fb])
+        c = (fb.shape[1] - hi2.size) // 2
+        fb[i, c:c + hi2.size] += hi2
+    return fb
+
+
+_HZ_FBANK = _build_filter_bank()           # (4, 43), rows sum to delta
+FILTER_TAPS = _HZ_FBANK.shape[1]
 
 
 class AugParams(NamedTuple):
@@ -84,6 +132,17 @@ class AugParams(NamedTuple):
     # centered output (y, x) to centered input coords; None = the exact
     # integer-gather path (no bilinear anywhere in the program).
     geom: jax.Array | None = None
+    # Filter category: per-sample separable FIR (B, FILTER_TAPS) — the
+    # band-gain-weighted sum of _HZ_FBANK rows — plus the per-sample
+    # "any band gate fired" flag (non-fired samples bypass the convs
+    # bit-exactly).
+    filt: jax.Array | None = None
+    filt_active: jax.Array | None = None
+    # Noise category: pre-scaled additive field (B, res, res, C).
+    noise: jax.Array | None = None
+    # Cutout category: (B, 3) = (center_y, center_x, size), all in
+    # units of the resolution; size 0 = no cut.
+    cutout: jax.Array | None = None
 
 
 def _rotation_about_luma(theta: jax.Array) -> jax.Array:
@@ -136,8 +195,35 @@ def _geom_inverse(key: jax.Array, batch: int, res: int,
     return jnp.concatenate([a_inv, b[:, :, None]], axis=-1)
 
 
+def _filter_params(key: jax.Array, batch: int,
+                   p: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-sample composed FIR (B, taps) + any-gate-fired flag (B,).
+
+    Official semantics: each band independently draws gain
+    ``2^N(0, IMGFILTER_STD)`` gated by Bernoulli(p); each draw's gain
+    vector is normalized to unit mean-square so broadband image energy
+    is preserved; the composed gains weight the bank rows. All gates off
+    gives exactly the unit-impulse row sum (identity filter).
+    """
+    bank = jnp.asarray(_HZ_FBANK, jnp.float32)
+    g = jnp.ones((batch, bank.shape[0]), jnp.float32)
+    active = jnp.zeros((batch,), bool)
+    keys = jax.random.split(key, 2 * bank.shape[0])
+    for i in range(bank.shape[0]):
+        fired = jax.random.bernoulli(keys[2 * i], p, (batch,))
+        t_i = jnp.where(fired,
+                        jnp.exp2(jax.random.normal(keys[2 * i + 1],
+                                                   (batch,))
+                                 * IMGFILTER_STD), 1.0)
+        t = jnp.ones((batch, bank.shape[0])).at[:, i].set(t_i)
+        t = t / jnp.sqrt(jnp.mean(jnp.square(t), axis=1, keepdims=True))
+        g = g * t
+        active = active | fired
+    return g @ bank, active
+
+
 def sample_params(key: jax.Array, batch: int, res: int, p: jax.Array,
-                  categories: str = "bc") -> AugParams:
+                  categories: str = "bc", channels: int = 3) -> AugParams:
     """Draw per-sample transforms, each gated by Bernoulli(p)."""
     p = jnp.asarray(p, jnp.float32)
     (k_f, k_r, k_rk, k_t, k_tv, k_b, k_bv, k_c, k_cv, k_l, k_h, k_hv,
@@ -200,12 +286,37 @@ def sample_params(key: jax.Array, batch: int, res: int, p: jax.Array,
         mat = sat @ mat
         bias = jnp.einsum("bij,bj->bi", sat, bias)
 
-    # Geometric keys derive from a fold_in so enabling "g" leaves the
-    # blit/color streams (and every existing test oracle) unchanged.
+    # Keys for the later categories derive from fold_ins so enabling
+    # any of "gfnu" leaves the blit/color streams (and every existing
+    # test oracle) unchanged.
     geom = _geom_inverse(jax.random.fold_in(key, 0x9E0), batch, res, p) \
         if "g" in categories else None
+
+    filt = filt_active = None
+    if "f" in categories:
+        filt, filt_active = _filter_params(
+            jax.random.fold_in(key, 0x9E1), batch, p)
+
+    noise = None
+    if "n" in categories:
+        k_g, k_s, k_v = jax.random.split(jax.random.fold_in(key, 0x9E2), 3)
+        sigma = jnp.where(
+            gate(k_g),
+            jnp.abs(jax.random.normal(k_s, (batch,))) * NOISE_STD, 0.0)
+        noise = (jax.random.normal(k_v, (batch, res, res, channels))
+                 * sigma[:, None, None, None])
+
+    cutout = None
+    if "u" in categories:
+        k_g, k_c = jax.random.split(jax.random.fold_in(key, 0x9E3))
+        size = jnp.where(gate(k_g), jnp.float32(CUTOUT_SIZE), 0.0)
+        center = jax.random.uniform(k_c, (batch, 2))
+        cutout = jnp.concatenate([center, size[:, None]], axis=-1)
+
     return AugParams(flip=flip, rot_k=rot_k, trans=trans,
-                     color_mat=mat, color_bias=bias, geom=geom)
+                     color_mat=mat, color_bias=bias, geom=geom,
+                     filt=filt, filt_active=filt_active, noise=noise,
+                     cutout=cutout)
 
 
 def _reflect(idx: jax.Array, res: int) -> jax.Array:
@@ -353,6 +464,58 @@ def _apply_geom(x: jax.Array, geom: jax.Array, res: int) -> jax.Array:
     return _resample_pass(out, fy, res, axis=1)
 
 
+def _sep_filter_pass(x: jax.Array, w: jax.Array, axis: int) -> jax.Array:
+    """Per-sample 1-D FIR along H (axis=1) or W (axis=2) of NHWC ``x``.
+
+    Per-sample kernels would naively need B separate convs; folding the
+    batch into the channel axis turns it into ONE depthwise grouped conv
+    (feature_group_count = B*C) with reflect padding — no gather, one
+    MXU-adjacent op, and the VJP is the mirrored conv. The bank rows are
+    symmetric palindromes so correlation == convolution.
+    """
+    b, h, wid, c = x.shape
+    taps = w.shape[1]
+    pad = taps // 2
+    padcfg = [(0, 0)] * 4
+    padcfg[axis] = (pad, pad)
+    xp = jnp.pad(x, padcfg, mode="reflect")
+    xp = jnp.transpose(xp, (1, 2, 0, 3)).reshape(
+        1, xp.shape[1], xp.shape[2], b * c)
+    k = jnp.broadcast_to(w.T[:, None, :, None],
+                         (taps, 1, b, c)).reshape(taps, 1, 1, b * c)
+    if axis == 2:
+        k = jnp.transpose(k, (1, 0, 2, 3))
+    out = jax.lax.conv_general_dilated(
+        xp, k.astype(x.dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=b * c)
+    return jnp.transpose(out.reshape(h, wid, b, c), (2, 0, 1, 3))
+
+
+def _apply_filter(x: jax.Array, filt: jax.Array,
+                  active: jax.Array) -> jax.Array:
+    y = _sep_filter_pass(x, filt, axis=1)
+    y = _sep_filter_pass(y, filt, axis=2)
+    # Unit gains make the kernel a delta only up to float rounding; the
+    # select keeps non-fired samples bit-identical (p=0 exact identity).
+    return jnp.where(active[:, None, None, None], y, x)
+
+
+def _cutout_mask(cut: jax.Array, res: int, dtype) -> jax.Array:
+    """(B, res, res, 1) keep-mask: zero inside the per-sample square.
+
+    Official semantics: pixel centers at (i + 0.5)/res; a pixel is cut
+    when BOTH axis distances to the center are < size/2 (rank-1 mask,
+    no gather).
+    """
+    cy, cx, size = cut[:, 0], cut[:, 1], cut[:, 2]
+    coord = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
+    keep_y = jnp.abs(coord[None, :] - cy[:, None]) >= size[:, None] / 2
+    keep_x = jnp.abs(coord[None, :] - cx[:, None]) >= size[:, None] / 2
+    keep = jnp.logical_or(keep_y[:, :, None], keep_x[:, None, :])
+    return keep[..., None].astype(dtype)
+
+
 def apply_augment(x: jax.Array, params: AugParams) -> jax.Array:
     """Apply sampled transforms to NHWC images in [-1, 1].
 
@@ -375,11 +538,21 @@ def apply_augment(x: jax.Array, params: AugParams) -> jax.Array:
     mat = params.color_mat.astype(out.dtype)
     bias = params.color_bias.astype(out.dtype)
     out = jnp.einsum("bhwc,bdc->bhwd", out, mat) + bias[:, None, None, :]
+
+    if params.filt is not None:
+        out = _apply_filter(out, params.filt, params.filt_active)
+    if params.noise is not None:
+        # sigma = 0 adds an exact zero field, so p=0 stays bit-exact.
+        out = out + params.noise.astype(out.dtype)
+    if params.cutout is not None:
+        # size = 0 keeps every pixel (multiply by exact 1.0).
+        out = out * _cutout_mask(params.cutout, res, out.dtype)
     return out
 
 
 def augment(x: jax.Array, p: jax.Array, key: jax.Array,
             categories: str = "bc") -> jax.Array:
     """ADA pipeline: per-sample transforms at strength ``p`` (traced)."""
-    params = sample_params(key, x.shape[0], x.shape[1], p, categories)
+    params = sample_params(key, x.shape[0], x.shape[1], p, categories,
+                           channels=x.shape[-1])
     return apply_augment(x, params)

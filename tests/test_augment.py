@@ -461,3 +461,127 @@ class TestAdaCheckpoint:
         back_on = mgr2.restore(create_train_state(cfg, jax.random.PRNGKey(2)))
         assert back_on is not None and abs(float(back_on.ada_p) - 0.25) < 1e-7
         mgr2.close()
+
+
+class TestFilterNoiseCutout:
+    """The official ADA pipeline's remaining categories — filter ('f',
+    4-band separable FIR via grouped depthwise convs), noise ('n'),
+    cutout ('u') — exact semantics against numpy oracles."""
+
+    def test_p_zero_is_identity_full_pipeline(self):
+        x = _imgs()
+        y = augment(x, 0.0, jax.random.PRNGKey(1), categories="bcgfnu")
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def test_filter_bank_rows_sum_to_delta(self):
+        from ganlab_tpu.ops.augment import _HZ_FBANK
+        taps = _HZ_FBANK.shape[1]
+        delta = np.zeros(taps)
+        delta[taps // 2] = 1.0
+        np.testing.assert_allclose(_HZ_FBANK.sum(0), delta, atol=1e-12)
+        # rows are symmetric palindromes (zero-phase filters), so the
+        # conv-vs-correlation distinction cannot matter
+        np.testing.assert_allclose(_HZ_FBANK, _HZ_FBANK[:, ::-1],
+                                   atol=1e-12)
+
+    def test_filter_matches_numpy_separable_oracle(self):
+        from ganlab_tpu.ops.augment import _HZ_FBANK
+        x = _imgs(b=2, res=16, seed=2)
+        # sample 0: no band fired (must bypass bit-exactly);
+        # sample 1: band 3 amplified 2x, official normalization
+        t = np.ones((2, 4))
+        t[1, 3] = 2.0
+        t = t / np.sqrt((t ** 2).mean(axis=1, keepdims=True))
+        filt = jnp.asarray(t @ _HZ_FBANK, jnp.float32)
+        p = _identity_params(2, 16)._replace(
+            filt=filt, filt_active=jnp.array([False, True]))
+        out = apply_augment(x, p)
+        np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(x[0]))
+
+        def sep(im, w):
+            pad = len(w) // 2
+            im = np.pad(im, ((pad, pad), (0, 0), (0, 0)), mode="reflect")
+            oh = np.zeros((im.shape[0] - 2 * pad,) + im.shape[1:])
+            for k in range(len(w)):
+                oh += w[k] * im[k:k + oh.shape[0]]
+            im = np.pad(oh, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+            o = np.zeros((im.shape[0], im.shape[1] - 2 * pad, im.shape[2]))
+            for k in range(len(w)):
+                o += w[k] * im[:, k:k + o.shape[1]]
+            return o
+
+        oracle = sep(np.asarray(x[1], np.float64), np.asarray(filt[1]))
+        np.testing.assert_allclose(np.asarray(out[1]), oracle, atol=1e-5)
+
+    def test_noise_is_exact_add(self):
+        x = _imgs(b=2, res=16)
+        field = jnp.asarray(
+            np.random.default_rng(3).normal(0, 0.1, (2, 16, 16, 3)),
+            jnp.float32)
+        p = _identity_params(2, 16)._replace(noise=field)
+        np.testing.assert_array_equal(np.asarray(apply_augment(x, p)),
+                                      np.asarray(x + field))
+
+    def test_cutout_mask_oracle(self):
+        x = _imgs(b=2, res=16, seed=4)
+        # sample 0: centered half-res square (exactly 25% zeroed at a
+        # multiple-of-4 res); sample 1: size 0 (bit-identical)
+        p = _identity_params(2, 16)._replace(
+            cutout=jnp.array([[0.5, 0.5, 0.5], [0.5, 0.5, 0.0]]))
+        out = np.asarray(apply_augment(x, p))
+        np.testing.assert_array_equal(out[1], np.asarray(x[1]))
+        coord = (np.arange(16) + 0.5) / 16
+        keep = (np.abs(coord - 0.5)[:, None] >= 0.25) \
+            | (np.abs(coord - 0.5)[None, :] >= 0.25)
+        np.testing.assert_array_equal(
+            out[0], np.asarray(x[0]) * keep[:, :, None])
+        assert (out[0] == 0).mean() == 0.25
+
+    def test_sampled_params_respect_new_categories(self):
+        k = jax.random.PRNGKey(0)
+        # 'bc' leaves the new fields None — program arity preserved for
+        # every existing non-fnu config
+        pbc = sample_params(k, 8, 16, 1.0, categories="bc")
+        assert pbc.filt is None and pbc.noise is None \
+            and pbc.cutout is None
+        pf = sample_params(k, 64, 16, 1.0, categories="fnu")
+        assert np.asarray(pf.filt_active).any()
+        assert np.abs(np.asarray(pf.noise)).sum() > 0
+        assert (np.asarray(pf.cutout)[:, 2] > 0).any()
+        # blit/color untouched by the new draws
+        assert not np.asarray(pf.flip).any()
+        np.testing.assert_allclose(np.asarray(pf.color_mat),
+                                   np.broadcast_to(np.eye(3), (64, 3, 3)))
+        # p=0: every gate off
+        p0 = sample_params(k, 8, 16, 0.0, categories="fnu")
+        assert not np.asarray(p0.filt_active).any()
+        assert np.abs(np.asarray(p0.noise)).sum() == 0
+        assert (np.asarray(p0.cutout)[:, 2] == 0).all()
+
+    def test_new_draws_leave_bc_streams_unchanged(self):
+        k = jax.random.PRNGKey(3)
+        a = sample_params(k, 16, 16, 0.7, categories="bc")
+        b = sample_params(k, 16, 16, 0.7, categories="bcgfnu")
+        for fld in ("flip", "rot_k", "trans", "color_mat", "color_bias"):
+            np.testing.assert_array_equal(np.asarray(getattr(a, fld)),
+                                          np.asarray(getattr(b, fld)))
+
+    def test_gradients_flow_through_fnu(self):
+        x = _imgs()
+        g = jax.grad(lambda x: jnp.sum(
+            augment(x, 0.9, jax.random.PRNGKey(3),
+                    categories="fnu") ** 2))(x)
+        g = np.asarray(g)
+        assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+    def test_train_step_runs_with_full_pipeline(self):
+        cfg = _ada_cfg(False, **{"aug.categories": "bcgfnu"})
+        phase = build_phases(cfg.schedule, cfg.model)[0]
+        st = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = jax.jit(build_train_step(cfg, phase,
+                                        penalty_override=True))
+        batch = np.random.default_rng(0).integers(
+            0, 255, (4, 16, 16, 3), dtype=np.uint8)
+        st, m = step(st, batch)
+        assert np.isfinite(float(m["d_loss"]))
+        assert np.isfinite(float(m["g_loss"]))
