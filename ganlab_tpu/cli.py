@@ -77,6 +77,15 @@ def main(argv=None) -> int:
     p_fid.add_argument("--metrics", default="fid",
                        help="comma list of fid,kid,pr (default fid)")
 
+    p_ppl = sub.add_parser("eval-ppl",
+                           help="perceptual path length of a checkpoint")
+    _add_common(p_ppl)
+    p_ppl.add_argument("--num-samples", type=int, default=5000)
+    p_ppl.add_argument("--space", default="w", choices=["w", "z"])
+    p_ppl.add_argument("--sampling", default="full",
+                       choices=["full", "end"])
+    p_ppl.add_argument("--epsilon", type=float, default=1e-4)
+
     p_interp = sub.add_parser("interpolate",
                               help="latent-walk frame grid from a checkpoint")
     _add_common(p_interp)
@@ -212,6 +221,17 @@ def main(argv=None) -> int:
             metrics=wanted)
         for name, value in scores.items():
             print(f"{name.upper()}: {value:.4f}")
+        return 0
+
+    if args.cmd == "eval-ppl":
+        from ganlab_tpu.eval.ppl import evaluate_checkpoint_ppl
+
+        out = evaluate_checkpoint_ppl(
+            cfg, workdir=args.workdir, num_samples=args.num_samples,
+            space=args.space, sampling=args.sampling,
+            epsilon=args.epsilon, seed=cfg.run.seed)
+        print(f"PPL ({out['space']}-{out['sampling']}, "
+              f"n={out['num']}): {out['ppl']:.4f}")
         return 0
 
     if args.cmd == "interpolate":

@@ -21,3 +21,5 @@ from ganlab_tpu.eval.fid import (
     get_extractor,
 )
 from ganlab_tpu.eval.inception import InceptionExtractor
+from ganlab_tpu.eval.lpips import LPIPSDistance
+from ganlab_tpu.eval.ppl import compute_ppl, evaluate_checkpoint_ppl
