@@ -75,13 +75,15 @@ def main(argv=None) -> int:
     _add_common(p_fid)
     p_fid.add_argument("--num-samples", type=int, default=10000)
     p_fid.add_argument("--metrics", default="fid",
-                       help="comma list of fid,kid,pr (default fid)")
+                       help="comma list of fid,kid,pr,ppl (default fid)")
 
     p_ppl = sub.add_parser("eval-ppl",
                            help="perceptual path length of a checkpoint")
     _add_common(p_ppl)
     p_ppl.add_argument("--num-samples", type=int, default=5000)
-    p_ppl.add_argument("--space", default="w", choices=["w", "z"])
+    p_ppl.add_argument("--space", default=None, choices=["w", "z"],
+                       help="latent space (default: w for style "
+                            "families, z otherwise)")
     p_ppl.add_argument("--sampling", default="full",
                        choices=["full", "end"])
     p_ppl.add_argument("--epsilon", type=float, default=1e-4)
@@ -216,9 +218,19 @@ def main(argv=None) -> int:
         from ganlab_tpu.eval.fid import evaluate_checkpoint_metrics
 
         wanted = tuple(m.strip() for m in args.metrics.split(","))
-        scores = evaluate_checkpoint_metrics(
-            cfg, workdir=args.workdir, num_samples=args.num_samples,
-            metrics=wanted)
+        scores = {}
+        if set(wanted) - {"ppl"}:
+            scores = evaluate_checkpoint_metrics(
+                cfg, workdir=args.workdir, num_samples=args.num_samples,
+                metrics=wanted)
+        if "ppl" in wanted:
+            from ganlab_tpu.eval.ppl import evaluate_checkpoint_ppl
+
+            # PPL needs no dataset; min(num_samples, 5000) keeps the
+            # one-stop call bounded (the official protocol uses 1e5).
+            scores["ppl"] = evaluate_checkpoint_ppl(
+                cfg, workdir=args.workdir,
+                num_samples=min(args.num_samples, 5000))["ppl"]
         for name, value in scores.items():
             print(f"{name.upper()}: {value:.4f}")
         return 0

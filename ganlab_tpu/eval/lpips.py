@@ -87,7 +87,16 @@ def vgg_features(params: dict, x: jax.Array) -> list[jax.Array]:
 
 
 def lpips_distance(params: dict, x: jax.Array, y: jax.Array) -> jax.Array:
-    """(B,) perceptual distances between NHWC image batches in [-1, 1]."""
+    """(B,) perceptual distances between NHWC image batches in [-1, 1].
+
+    Inputs below 32px (VGG16's five pools need >= 32) are bilinearly
+    upsampled to 32 first, so the metric stays defined for the tiny
+    progressive phases / test models.
+    """
+    if x.shape[1] < 32:
+        shape = (x.shape[0], 32, 32, x.shape[3])
+        x = jax.image.resize(x, shape, "bilinear")
+        y = jax.image.resize(y, shape, "bilinear")
     fx, fy = vgg_features(params, x), vgg_features(params, y)
     total = 0.0
     for a, b in zip(fx, fy):

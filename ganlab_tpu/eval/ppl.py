@@ -32,11 +32,12 @@ from ganlab_tpu.eval.lpips import LPIPSDistance
 
 
 def compute_ppl(cfg, params, *, num_samples: int = 5000,
-                epsilon: float = 1e-4, space: str = "w",
+                epsilon: float = 1e-4, space: str | None = None,
                 sampling: str = "full", batch: int = 32, seed: int = 0,
                 distance=None, res_log2: int | None = None) -> dict:
     """PPL of a generator. Returns ``{"ppl", "num", "space", "sampling"}``.
 
+    ``space=None`` auto-selects: 'w' for style families, 'z' otherwise.
     ``distance``: callable (imgs_a, imgs_b) -> (B,) perceptual
     distances; defaults to :class:`LPIPSDistance` (pretrained when
     ``$GANLAB_LPIPS_WEIGHTS`` is set, random-VGG fallback otherwise —
@@ -46,13 +47,15 @@ def compute_ppl(cfg, params, *, num_samples: int = 5000,
     from ganlab_tpu.models.stylegan import num_style_layers
     from ganlab_tpu.utils.latents import lerp, slerp
 
-    if space not in ("w", "z"):
+    if space not in (None, "w", "z"):
         raise ValueError(f"space {space!r} not in ('w', 'z')")
     if sampling not in ("full", "end"):
         raise ValueError(f"sampling {sampling!r} not in ('full', 'end')")
 
     g_model, _ = build_models(cfg.model)
     is_style = hasattr(g_model, "map_latents")
+    if space is None:
+        space = "w" if is_style else "z"
     if space == "w" and not is_style:
         raise ValueError("space='w' needs a style-based family; use "
                          "space='z' for progan/resnetgan")

@@ -151,3 +151,29 @@ def test_random_fallback_distance_smoke():
     x = np.random.default_rng(2).uniform(-1, 1, (2, 32, 32, 3))
     out = d(x, -x)
     assert out.shape == (2,) and np.isfinite(out).all() and (out > 0).all()
+
+
+def test_cli_eval_ppl_and_metrics_merge(tmp_path):
+    """`ganlab eval-ppl` and `eval-fid --metrics ppl` run end-to-end on
+    a tiny trained workdir — including the sub-32px LPIPS resize guard
+    (resolution 16 < VGG16's five-pool minimum)."""
+    from ganlab_tpu.cli import main
+
+    workdir = str(tmp_path / "run")
+    common = [
+        "--set", "model.resolution=16", "--set", "model.latent_dim=8",
+        "--set", "model.base_channels=8",
+        "--set", "run.compute_dtype=float32",
+        "--set", "schedule.batch_schedule={16: 4}",
+        "--set", "schedule.total_kimg=0.1",
+        "--set", "data.dataset=synthetic",
+    ]
+    assert main(["train", "--preset", "resnetgan-cifar10", "--workdir",
+                 workdir, "--max-steps", "1", "--no-mesh", *common]) == 0
+    assert main(["eval-ppl", "--preset", "resnetgan-cifar10",
+                 "--workdir", workdir, "--num-samples", "4",
+                 "--space", "z", *common]) == 0
+    # eval-fid's ppl merge auto-selects z-space for non-style families
+    assert main(["eval-fid", "--preset", "resnetgan-cifar10",
+                 "--workdir", workdir, "--num-samples", "8",
+                 "--metrics", "ppl", *common]) == 0
