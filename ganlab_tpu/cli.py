@@ -228,9 +228,15 @@ def main(argv=None) -> int:
 
             # PPL needs no dataset; min(num_samples, 5000) keeps the
             # one-stop call bounded (the official protocol uses 1e5).
+            # Seed and the cap note match the dedicated eval-ppl path
+            # (ADVICE r3: no silent cap, no seed drift between the two).
+            ppl_n = min(args.num_samples, 5000)
+            if ppl_n < args.num_samples:
+                print(f"note: PPL capped at {ppl_n} samples here; use "
+                      "`eval-ppl --num-samples` for more", flush=True)
             scores["ppl"] = evaluate_checkpoint_ppl(
-                cfg, workdir=args.workdir,
-                num_samples=min(args.num_samples, 5000))["ppl"]
+                cfg, workdir=args.workdir, num_samples=ppl_n,
+                seed=cfg.run.seed)["ppl"]
         for name, value in scores.items():
             print(f"{name.upper()}: {value:.4f}")
         return 0

@@ -119,8 +119,13 @@ class LPIPSDistance:
             self.pretrained = False
         self.name = ("lpips_vgg16" if self.pretrained
                      else "lpips_vgg16_random")
-        self._fn = jax.jit(lambda x, y: lpips_distance(self.params, x, y))
+        # Weights are a jit ARGUMENT, not a closed-over constant: baking
+        # ~138M params into the program as literals bloats the compile —
+        # a documented TPU-relay hazard (ADVICE r3; house style matches
+        # cli.py's build_sample_fn).
+        self._fn = jax.jit(lpips_distance)
 
     def __call__(self, x, y) -> np.ndarray:
-        return np.asarray(self._fn(jnp.asarray(x, jnp.float32),
+        return np.asarray(self._fn(self.params,
+                                   jnp.asarray(x, jnp.float32),
                                    jnp.asarray(y, jnp.float32)))

@@ -69,24 +69,27 @@ def compute_ppl(cfg, params, *, num_samples: int = 5000,
     nl = num_style_layers(lg) if is_style else 0
     eps = jnp.float32(epsilon)
 
-    def synth(lat, noise_key):
+    def synth_p(p, lat, noise_key):
         if is_style:
             ws = jnp.broadcast_to(lat[:, None, :],
                                   (lat.shape[0], nl, lat.shape[-1]))
-            img = g_model.apply(params, ws, lg, 1.0, method="synthesize",
+            img = g_model.apply(p, ws, lg, 1.0, method="synthesize",
                                 rngs={"noise": noise_key})
         else:
-            img = g_model.apply(params, lat, lg, 1.0)
+            img = g_model.apply(p, lat, lg, 1.0)
         return img.astype(jnp.float32)
 
+    # Generator params are a jit ARGUMENT (ADVICE r3): closing over them
+    # bakes every weight into the program as a constant — oversized
+    # compiles are a documented relay hazard for the big presets.
     @jax.jit
-    def pair_batch(key):
+    def pair_batch(p, key):
         kz, kt, kn = jax.random.split(key, 3)
         z = jax.random.normal(kz, (2, batch, dim))
         t = (jax.random.uniform(kt, (batch, 1))
              if sampling == "full" else jnp.zeros((batch, 1)))
         if space == "w":
-            w = g_model.apply(params, z.reshape(2 * batch, dim),
+            w = g_model.apply(p, z.reshape(2 * batch, dim),
                               method="map_latents")
             w = w.astype(jnp.float32).reshape(2, batch, -1)
             lat0 = lerp(w[0], w[1], t)
@@ -96,18 +99,18 @@ def compute_ppl(cfg, params, *, num_samples: int = 5000,
             z1 = slerp(z[0], z[1], t + eps)
             if is_style:
                 zz = jnp.concatenate([z0, z1], 0)
-                ww = g_model.apply(params, zz, method="map_latents")
+                ww = g_model.apply(p, zz, method="map_latents")
                 lat0, lat1 = jnp.split(ww.astype(jnp.float32), 2, 0)
             else:
                 lat0, lat1 = z0, z1
-        return synth(lat0, kn), synth(lat1, kn)
+        return synth_p(p, lat0, kn), synth_p(p, lat1, kn)
 
     key = jax.random.PRNGKey(seed)
     dists = []
     done = 0
     while done < num_samples:
         key, k = jax.random.split(key)
-        img0, img1 = pair_batch(k)
+        img0, img1 = pair_batch(params, k)
         dists.append(np.asarray(dist(img0, img1), np.float64)
                      / float(epsilon) ** 2)
         done += batch

@@ -116,6 +116,19 @@ def _build_filter_bank() -> np.ndarray:
 _HZ_FBANK = _build_filter_bank()           # (4, 43), rows sum to delta
 FILTER_TAPS = _HZ_FBANK.shape[1]
 
+# Expected per-band power of natural images (~1/f spectrum): the low band
+# carries 10/13 of the energy. The official imgfilter normalizes each
+# band-gain draw so the EXPECTED output power is preserved under THIS
+# spectrum, not uniformly (ADVICE r3). Weights sum to 1, so the all-ones
+# (no gate fired) gain vector is a fixed point — identity stays exact.
+_FILTER_EXPECTED_POWER = np.array([10.0, 1.0, 1.0, 1.0]) / 13.0
+
+
+def _normalize_filter_gain(t: jax.Array) -> jax.Array:
+    """Normalize a (B, 4) band-gain vector to unit expected output power."""
+    ep = jnp.asarray(_FILTER_EXPECTED_POWER, t.dtype)
+    return t / jnp.sqrt(jnp.sum(ep * jnp.square(t), axis=1, keepdims=True))
+
 
 class AugParams(NamedTuple):
     """Per-sample transform draws (all (B,) or (B, ...) arrays).
@@ -201,9 +214,12 @@ def _filter_params(key: jax.Array, batch: int,
 
     Official semantics: each band independently draws gain
     ``2^N(0, IMGFILTER_STD)`` gated by Bernoulli(p); each draw's gain
-    vector is normalized to unit mean-square so broadband image energy
-    is preserved; the composed gains weight the bank rows. All gates off
-    gives exactly the unit-impulse row sum (identity filter).
+    vector is normalized so the EXPECTED output power is preserved under
+    natural images' ~1/f spectrum — band powers weighted [10,1,1,1]/13
+    (low band carries 10/13 of the energy), not uniformly (ADVICE r3).
+    The composed gains weight the bank rows. All gates off gives exactly
+    the unit-impulse row sum (identity filter: the expected-power weights
+    sum to 1, so the all-ones gain vector normalizes to itself).
     """
     bank = jnp.asarray(_HZ_FBANK, jnp.float32)
     g = jnp.ones((batch, bank.shape[0]), jnp.float32)
@@ -216,7 +232,7 @@ def _filter_params(key: jax.Array, batch: int,
                                                    (batch,))
                                  * IMGFILTER_STD), 1.0)
         t = jnp.ones((batch, bank.shape[0])).at[:, i].set(t_i)
-        t = t / jnp.sqrt(jnp.mean(jnp.square(t), axis=1, keepdims=True))
+        t = _normalize_filter_gain(t)
         g = g * t
         active = active | fired
     return g @ bank, active

@@ -484,14 +484,36 @@ class TestFilterNoiseCutout:
         np.testing.assert_allclose(_HZ_FBANK, _HZ_FBANK[:, ::-1],
                                    atol=1e-12)
 
+    def test_filter_gain_normalization_is_official_expected_power(self):
+        """ADVICE r3 (medium): the official imgfilter normalizes each
+        band-gain draw by the expected 1/f band power [10,1,1,1]/13 —
+        NOT unit mean-square. Oracle the helper directly and require the
+        all-ones vector (no gate fired) to be a fixed point."""
+        from ganlab_tpu.ops.augment import _normalize_filter_gain
+
+        ep = np.array([10.0, 1.0, 1.0, 1.0]) / 13.0
+        t = np.array([[1.0, 1.0, 1.0, 1.0],
+                      [4.0, 1.0, 1.0, 1.0],
+                      [1.0, 1.0, 1.0, 0.25]])
+        oracle = t / np.sqrt((ep * t ** 2).sum(axis=1, keepdims=True))
+        out = np.asarray(_normalize_filter_gain(jnp.asarray(t, jnp.float32)))
+        np.testing.assert_allclose(out, oracle, rtol=1e-6)
+        np.testing.assert_allclose(out[0], np.ones(4), rtol=1e-6)
+        # A fired LOW band is now scaled DOWN harder than under uniform
+        # weighting (it dominates the expected power).
+        uniform = t[1] / np.sqrt((t[1] ** 2).mean())
+        assert out[1, 0] < uniform[0]
+
     def test_filter_matches_numpy_separable_oracle(self):
         from ganlab_tpu.ops.augment import _HZ_FBANK
         x = _imgs(b=2, res=16, seed=2)
         # sample 0: no band fired (must bypass bit-exactly);
-        # sample 1: band 3 amplified 2x, official normalization
+        # sample 1: band 3 amplified 2x, official 1/f expected-power
+        # normalization ([10,1,1,1]/13 band weights, ADVICE r3)
+        ep = np.array([10.0, 1.0, 1.0, 1.0]) / 13.0
         t = np.ones((2, 4))
         t[1, 3] = 2.0
-        t = t / np.sqrt((t ** 2).mean(axis=1, keepdims=True))
+        t = t / np.sqrt((ep * t ** 2).sum(axis=1, keepdims=True))
         filt = jnp.asarray(t @ _HZ_FBANK, jnp.float32)
         p = _identity_params(2, 16)._replace(
             filt=filt, filt_active=jnp.array([False, True]))

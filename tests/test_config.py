@@ -93,3 +93,28 @@ def test_judged_preset_recipe_is_the_ab_validated_one():
     # liveness across the D backward, and the 1024^2 program already sits
     # within ~300 MB of HBM capacity (config.py preset notes).
     assert get_config("stylegan-1024").loss.fused_seq is False
+
+
+def test_every_preset_times_step_variant_constructs():
+    """VERDICT r3 #1: the exclusivity guard now has three interacting
+    flags (fused_g_step, fused_seq, grad_accum). Every preset must be
+    constructible in every step-variant the CLI can reach — opting into
+    one fused mode via apply_overrides clears the other regardless of
+    the preset's default."""
+    variants = {
+        "plain": {"loss.fused_g_step": False, "loss.fused_seq": False},
+        "fused": {"loss.fused_g_step": True},
+        "fusedseq": {"loss.fused_seq": True},
+        "accum": {"optim.grad_accum": 4},
+    }
+    for preset in PRESETS:
+        for name, ov in variants.items():
+            cfg = get_config(preset, **ov)
+            assert not (cfg.loss.fused_g_step and cfg.loss.fused_seq), (
+                preset, name)
+            if name == "fused":
+                assert cfg.loss.fused_g_step, (preset, name)
+            if name == "fusedseq":
+                assert cfg.loss.fused_seq, (preset, name)
+            if name == "accum":
+                assert cfg.optim.grad_accum == 4, (preset, name)

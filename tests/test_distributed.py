@@ -181,10 +181,14 @@ def test_fused_step_under_shard_map(mesh):
     """The fused simultaneous update (the stylegan presets' default) must
     hold the same DP guarantees: replica-identical state, exact equality
     with the single-device step on identical shards."""
-    cfg = tiny_config("stylegan")
-    import dataclasses
+    from ganlab_tpu.config import apply_overrides
 
-    cfg = cfg.replace(loss=dataclasses.replace(cfg.loss, fused_g_step=True))
+    # Construct through apply_overrides so opting into fused_g_step clears
+    # the preset's fused_seq default (the two flags are mutually exclusive;
+    # a raw dataclasses.replace would trip the __post_init__ guard).
+    cfg = apply_overrides(tiny_config("stylegan"),
+                          {"loss.fused_g_step": True})
+    assert cfg.loss.fused_g_step and not cfg.loss.fused_seq
     phase = build_phases(cfg.schedule, cfg.model)[-1]
 
     step_dp = build_train_step(cfg, phase, axis_name="data",
