@@ -279,6 +279,24 @@ class RunConfig:
     data_axis: str = "data"            # mesh axis name for DP
     use_pallas: bool = False           # hand-written kernels for the hot ops
     tensorboard: bool = False          # tf.summary scalars next to JSONL
+    # In-training eval cadence (the official trainers log FID every N kimg
+    # into the training record): every eval_kimg kimg of shown images the
+    # G-EMA is scored (FID + KID, eval_samples fakes at the CURRENT phase
+    # resolution and fade-in alpha, untruncated) against cached real
+    # features drawn from the run's data source, and the scores land in
+    # train.jsonl / TensorBoard. Extractor: 'auto' = pretrained Inception
+    # when $GANLAB_INCEPTION_WEIGHTS is set, else the fast random-conv
+    # extractor (relative trends only — documented in eval/fid.py).
+    eval_kimg: float | None = None
+    eval_samples: int = 2048
+    eval_extractor: str = "auto"       # 'auto'|'randconv'|'inception'
+
+    def __post_init__(self):
+        if self.eval_extractor not in ("auto", "randconv", "inception"):
+            raise ValueError(f"run.eval_extractor {self.eval_extractor!r} "
+                             "not in auto/randconv/inception")
+        if self.eval_kimg is not None and self.eval_kimg <= 0:
+            raise ValueError("run.eval_kimg must be positive (or None)")
 
 
 @dataclass(frozen=True)

@@ -27,7 +27,7 @@ from ganlab_tpu.parallel import (
     shard_stack,
 )
 from ganlab_tpu.train.checkpoint import CheckpointManager
-from ganlab_tpu.train.schedule import build_phases, phase_at
+from ganlab_tpu.train.schedule import alpha_at, build_phases, phase_at
 from ganlab_tpu.train.state import create_train_state
 from ganlab_tpu.train.steps import (
     build_sample_fn,
@@ -87,6 +87,12 @@ class Trainer:
         self._source = source
         self._steps: dict[tuple, Callable] = {}
         self._samplers: dict[int, Callable] = {}
+        # In-training eval (run.eval_kimg): lazily-built extractor, traced-
+        # alpha samplers per resolution, and per-resolution real features
+        # cached for the run (the dataset side never changes).
+        self._eval_extractor = None
+        self._eval_samplers: dict[int, Callable] = {}
+        self._eval_real: dict[int, np.ndarray] = {}
         self._warn_chunk_cadences()
 
     def _warn_chunk_cadences(self) -> None:
@@ -265,6 +271,14 @@ class Trainer:
                         m.update(res=phase.resolution, kind=phase.kind,
                                  shown_imgs=shown)
                         self.logger.log(step_i, m)
+                    # In-training metric cadence (run.eval_kimg): shown-
+                    # image based so it survives chunked stepping and
+                    # progressive batch-size changes.
+                    if run.eval_kimg and jax.process_index() == 0:
+                        per = run.eval_kimg * 1000.0
+                        if int(shown // per) != \
+                                int((shown - n * global_batch) // per):
+                            self.run_eval(phase, shown, step_i)
                     if crossed(run.sample_every):
                         self.save_samples(phase.res_log2,
                                           tag=f"step{step_i:08d}")
@@ -280,6 +294,94 @@ class Trainer:
                       flush=True)
         self._finish()
         return metrics
+
+    # ------------------------------------------------------------------
+    def _get_eval_extractor(self):
+        if self._eval_extractor is None:
+            from ganlab_tpu.eval.fid import (RandomConvExtractor,
+                                             get_extractor)
+
+            kind = self.cfg.run.eval_extractor
+            if kind == "randconv":
+                self._eval_extractor = RandomConvExtractor()
+            elif kind == "inception":
+                from ganlab_tpu.eval.inception import InceptionExtractor
+
+                self._eval_extractor = InceptionExtractor(
+                    weights_path=os.environ.get("GANLAB_INCEPTION_WEIGHTS"))
+            else:                       # 'auto'
+                self._eval_extractor = get_extractor()
+        return self._eval_extractor
+
+    def _eval_real_features(self, resolution: int) -> np.ndarray:
+        """Real-side features at this resolution, computed once per run.
+
+        Reals always come from the FULL underlying distribution (a
+        data.num_images-restricted training pool is judged on
+        generalization — memorizing the pool must not score well; same
+        protocol as scripts/ab_recipes.py)."""
+        if resolution not in self._eval_real:
+            import dataclasses
+
+            extractor = self._get_eval_extractor()
+            data = dataclasses.replace(self.cfg.data, num_images=None)
+            src = make_source(data, resolution,
+                              seed=self.cfg.run.seed + 99)
+            n = self.cfg.run.eval_samples
+            feats = []
+            for i in range(0, n, 64):
+                b = min(64, n - i)
+                real = src.batch(b, resolution).astype(np.float32)
+                feats.append(extractor(real / 127.5 - 1.0))
+            self._eval_real[resolution] = np.concatenate(feats)
+        return self._eval_real[resolution]
+
+    def run_eval(self, phase, shown: float, step_i: int) -> dict:
+        """Score the G-EMA (FID + KID, untruncated, current resolution and
+        fade-in alpha) against cached real features; log to train.jsonl /
+        TensorBoard. The official trainers log FID every N kimg into the
+        training record — this is that cadence (run.eval_kimg)."""
+        from ganlab_tpu.eval.fid import compute_fid, compute_kid
+
+        cfg = self.cfg
+        extractor = self._get_eval_extractor()
+        real = self._eval_real_features(phase.resolution)
+        lg = phase.res_log2
+        if lg not in self._eval_samplers:
+            # Traced alpha (unlike the save_samples sampler, which pins
+            # alpha static at 1.0): fade-phase evals score the blend the
+            # training state actually uses, with one compile per res.
+            self._eval_samplers[lg] = jax.jit(build_sample_fn(cfg, lg))
+        sampler = self._eval_samplers[lg]
+        alpha = float(alpha_at(phase, shown))
+
+        from ganlab_tpu.utils import gen_latents
+
+        key = jax.random.PRNGKey(cfg.run.seed + 1013)
+        state = self.state
+        n = cfg.run.eval_samples
+        feats = []
+        done = 0
+        while done < n:
+            key, kz, kn = jax.random.split(key, 3)
+            # Fixed batch of 64 (one compiled program); trim the overshoot.
+            z = gen_latents(kz, 64, cfg.model.latent_dim)
+            fake = sampler(state.params_ema, state.w_avg, z, kn, 1.0, alpha)
+            feats.append(extractor(np.asarray(jax.device_get(fake))))
+            done += 64
+        fake_feats = np.concatenate(feats)[:n]
+
+        row = {
+            "eval_fid": compute_fid(real, fake_feats),
+            "eval_kid": compute_kid(real, fake_feats,
+                                    subset_size=min(1000, n // 2)),
+            "eval_extractor": getattr(extractor, "name", "extractor"),
+            "eval_samples": n,
+            "res": phase.resolution, "kind": phase.kind,
+            "shown_imgs": shown,
+        }
+        self.logger.log(step_i, row)
+        return row
 
     def _reset_optimizer_moments(self) -> None:
         """Reinitialize Adam moments at a progressive phase boundary

@@ -24,12 +24,16 @@ their mean — time-averaging the fluctuation — with >= 2 seeds on top.
 
 Results are appended per (seed, recipe) to <workdir>/results.json so a
 killed run resumes cheaply, and the final summary JSON aggregates the
-fast-vs-parity FID deltas across seeds per extractor.
+fast-vs-parity FID deltas across seeds per extractor — with a bootstrap
+95% CI of the mean relative delta (VERDICT r3 #2: "within 5%" needs the
+noise quantified, not asserted). The CI resamples SEEDS (the independent
+unit; checkpoints within a run share a training trajectory) and is
+reported alongside a paired per-checkpoint view for transparency.
 
 Usage:
     python scripts/ab_recipes.py [--res 64] [--kimg 192] [--batch 32]
         [--dataset synthetic] [--data-dir DIR] [--samples 2048]
-        [--seeds 0,1,2]
+        [--seeds 0,1,2] [--summarize-only]
 """
 
 from __future__ import annotations
@@ -75,6 +79,71 @@ RECIPES = {
 }
 
 
+def _bootstrap_ci(values: list[float], n_boot: int = 10000,
+                  alpha: float = 0.05, seed: int = 0) -> list[float]:
+    """Percentile bootstrap CI of the mean, resampling the given values
+    (one per independent unit = one per seed) with replacement."""
+    import random
+
+    rng = random.Random(seed)
+    n = len(values)
+    means = sorted(sum(rng.choices(values, k=n)) / n for _ in range(n_boot))
+    lo = means[int((alpha / 2) * n_boot)]
+    hi = means[min(int((1 - alpha / 2) * n_boot), n_boot - 1)]
+    return [round(lo, 4), round(hi, 4)]
+
+
+def summarize(results: dict, extractors, seeds, args) -> dict:
+    """Aggregate per-(seed, arm) rows into the arm-vs-parity summary."""
+    arms = sorted({t.split("_", 1)[1] for t in results} - {"parity"})
+    summary = {"metric": "recipe A/B FID vs parity",
+               "res": args.res, "kimg": args.kimg, "batch": args.batch,
+               "samples": args.samples, "eval_fracs": args.eval_fracs,
+               "scoring": "mean FID/KID over the eval-frac checkpoints",
+               "ci": "bootstrap 95% CI of the mean per-seed relative "
+                     "FID delta (seeds resampled; 10k draws)",
+               "pretrained_weights": bool(
+                   os.environ.get("GANLAB_INCEPTION_WEIGHTS")),
+               "seeds": seeds, "arms": arms, "per_extractor": {}}
+    for ename in extractors:
+        per_arm = {}
+        for arm in arms:
+            rels, rows, ckpt_rels = [], {}, []
+            for seed in seeds:
+                pk, ak = f"s{seed}_parity", f"s{seed}_{arm}"
+                if pk not in results or ak not in results:
+                    continue
+                p, a = results[pk][ename], results[ak][ename]
+                rel = (a["fid"] - p["fid"]) / max(p["fid"], 1e-9)
+                rels.append(rel)
+                rows[f"seed{seed}"] = {"parity": p, arm: a,
+                                       "fid_rel": round(rel, 4)}
+                # Paired per-checkpoint view (same eval fraction in both
+                # arms): diagnostic only — checkpoints within a seed share
+                # a trajectory, so the CI unit stays the seed.
+                for cp, ca in zip(results[pk]["checkpoints"],
+                                  results[ak]["checkpoints"]):
+                    ckpt_rels.append(
+                        (ca[ename]["fid"] - cp[ename]["fid"])
+                        / max(cp[ename]["fid"], 1e-9))
+            if not rels:
+                continue
+            mean_rel = sum(rels) / len(rels)
+            per_arm[arm] = {
+                **rows,
+                "mean_fid_rel": round(mean_rel, 4),
+                "max_abs_fid_rel": round(max(abs(r) for r in rels), 4),
+                "fid_rel_ci95": _bootstrap_ci(rels),
+                "ckpt_paired_mean_rel": round(
+                    sum(ckpt_rels) / len(ckpt_rels), 4),
+                "n_seeds": len(rels),
+                "neutral_within_5pct": bool(abs(mean_rel) <= 0.05),
+                "ci_excludes_plus_5pct": bool(_bootstrap_ci(rels)[1] < 0.05),
+            }
+        summary["per_extractor"][ename] = per_arm
+    return summary
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=64)
@@ -94,9 +163,23 @@ def main():
     ap.add_argument("--recipes", default="parity,fast",
                     help="comma-separated recipe arms to run "
                          f"(available: {','.join(RECIPES)})")
+    ap.add_argument("--summarize-only", action="store_true",
+                    help="recompute summary.json from existing "
+                         "results.json without training anything")
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",") if s != ""]
     recipes = {n: RECIPES[n] for n in args.recipes.split(",") if n}
+
+    if args.summarize_only:
+        with open(os.path.join(args.workdir, "results.json")) as f:
+            results = json.load(f)
+        extractor_names = sorted(next(iter(results.values()))
+                                 ["checkpoints"][0].keys() - {"step"})
+        summary = summarize(results, extractor_names, seeds, args)
+        with open(os.path.join(args.workdir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        print(json.dumps(summary, indent=1))
+        return
 
     import jax
 
@@ -221,37 +304,7 @@ def main():
 
     # Aggregate: each non-parity arm's relative FID delta vs parity, per
     # extractor, per seed (only over arms whose runs exist in results).
-    arms = sorted({t.split("_", 1)[1] for t in results} - {"parity"})
-    summary = {"metric": "recipe A/B FID vs parity",
-               "res": args.res, "kimg": args.kimg, "batch": args.batch,
-               "samples": args.samples, "eval_fracs": args.eval_fracs,
-               "scoring": "mean FID/KID over the eval-frac checkpoints",
-               "pretrained_weights": bool(
-                   os.environ.get("GANLAB_INCEPTION_WEIGHTS")),
-               "seeds": seeds, "arms": arms, "per_extractor": {}}
-    for ename in extractors:
-        per_arm = {}
-        for arm in arms:
-            rels, rows = [], {}
-            for seed in seeds:
-                pk, ak = f"s{seed}_parity", f"s{seed}_{arm}"
-                if pk not in results or ak not in results:
-                    continue
-                p, a = results[pk][ename], results[ak][ename]
-                rel = (a["fid"] - p["fid"]) / max(p["fid"], 1e-9)
-                rels.append(rel)
-                rows[f"seed{seed}"] = {"parity": p, arm: a,
-                                       "fid_rel": round(rel, 4)}
-            if not rels:
-                continue
-            mean_rel = sum(rels) / len(rels)
-            per_arm[arm] = {
-                **rows,
-                "mean_fid_rel": round(mean_rel, 4),
-                "max_abs_fid_rel": round(max(abs(r) for r in rels), 4),
-                "neutral_within_5pct": bool(abs(mean_rel) <= 0.05),
-            }
-        summary["per_extractor"][ename] = per_arm
+    summary = summarize(results, extractors, seeds, args)
     with open(os.path.join(args.workdir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))

@@ -369,3 +369,42 @@ def test_top_level_api_exports():
     assert ganlab_tpu.StyleGANLearner.MODEL == "stylegan"
     with pytest.raises(AttributeError):
         ganlab_tpu.nope
+
+
+def test_in_training_eval_cadence(tmp_path):
+    """run.eval_kimg (VERDICT r3 #4): FID/KID of the G-EMA land in
+    train.jsonl DURING training, at the shown-image cadence, using the
+    fast random-conv extractor in-container."""
+    import json
+
+    cfg = tiny_config(**{
+        "run.eval_kimg": 0.032,        # every 32 images = every 8 steps
+        "run.eval_samples": 64,
+        "run.eval_extractor": "randconv",
+        "schedule.total_kimg": 0.08,   # 20 steps of batch 4
+        "data.dataset": "synthetic",   # eval reals come from cfg.data
+    })
+    src = SyntheticSource(16, num_images=32)
+    tr = Trainer(cfg, workdir=str(tmp_path), use_mesh=False, source=src)
+    try:
+        tr.train()
+    finally:
+        tr.close()
+    rows = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path), "train.jsonl"))]
+    evals = [r for r in rows if "eval_fid" in r]
+    # 80 images / 32-image cadence -> boundaries at 32 and 64 imgs.
+    assert len(evals) == 2, [r.get("shown_imgs") for r in evals]
+    for r in evals:
+        assert np.isfinite(r["eval_fid"]) and r["eval_fid"] >= 0.0
+        assert np.isfinite(r["eval_kid"])
+        assert r["eval_extractor"] == "random_conv"
+        assert r["eval_samples"] == 64
+    assert [r["shown_imgs"] for r in evals] == [32.0, 64.0]
+
+
+def test_eval_extractor_config_validation():
+    with pytest.raises(ValueError):
+        tiny_config(**{"run.eval_extractor": "vgg"})
+    with pytest.raises(ValueError):
+        tiny_config(**{"run.eval_kimg": -1.0})
