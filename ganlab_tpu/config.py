@@ -170,7 +170,10 @@ class OptimConfig:
     # FID (the EMA generator is what gets judged). Requires ema_kimg;
     # None disables (the horizon is constant from step 0). The beta
     # becomes a TRACED function of shown_imgs — same compiled program
-    # across the whole run.
+    # across the whole run. Guidance: set 0.05 (official) for short runs
+    # and demos (any run whose budget is < ~20x the ema_kimg horizon —
+    # the A/B harness does); long judged runs are indifferent once
+    # shown*rampup exceeds the horizon, so the presets leave it None.
     ema_rampup: float | None = None
     # Official lazy-regularization Adam compensation (StyleGAN2
     # training_loop.py): a network whose regularizer fires every k-th

@@ -316,3 +316,56 @@ def test_two_process_distributed_matches_single_process(tmp_path):
         for k, v in want.items():
             assert got[k] == pytest.approx(v, rel=2e-5, abs=1e-6), \
                 (k, got[k], v)
+
+
+@pytest.mark.slow
+def test_ema_rampup_device_count_invariant(mesh):
+    """VERDICT r3 #7: with optim.ema_rampup set, the warmed-up horizon
+    min(ema_kimg*1000, shown*rampup) must ALSO be a function of the global
+    batch and the global shown-image counter only — an 8-device DP run at
+    2/device and a single-device run at batch 16 apply the same traced
+    per-step decay. Counter pre-advanced to 64 imgs so both measured steps
+    sit in the rampup regime (beta_t = 0.5^(16/min(100, shown_t*0.5)))."""
+    import dataclasses
+
+    cfg = tiny_config("stylegan")
+    cfg = cfg.replace(optim=dataclasses.replace(
+        cfg.optim, lr_g=0.0, ema_kimg=0.1, ema_rampup=0.5))
+    phase = build_phases(cfg.schedule, cfg.model)[-1]
+    shown0 = 64.0
+    # Pre-step counters 64 then 80: horizons 32 and 40 images.
+    expected = 0.5 ** (16 / min(100.0, 64.0 * 0.5)) \
+        * 0.5 ** (16 / min(100.0, 80.0 * 0.5))
+
+    def prepared(state):
+        import jax.numpy as jnp
+
+        return state.replace(
+            params_ema=jax.tree.map(lambda x: x + 1.0, state.params_ema),
+            shown_imgs=jnp.float32(shown0))
+
+    def contraction(g, e0, state1):
+        e1 = np.asarray(jax.tree.leaves(jax.device_get(state1).params_ema)[0])
+        num = (e1 - g).astype(np.float64).ravel()
+        den = (e0 - g).astype(np.float64).ravel()
+        return float(np.median(num / den))
+
+    par = make_parallel_step(
+        build_train_step(cfg, phase, axis_name="data"), mesh)
+    s_dp0 = prepared(create_train_state(cfg, jax.random.PRNGKey(0)))
+    g0 = np.asarray(jax.tree.leaves(jax.device_get(s_dp0).params_g)[0])
+    e0 = np.asarray(jax.tree.leaves(jax.device_get(s_dp0).params_ema)[0])
+    s_dp = replicate(s_dp0, mesh)
+    for i in range(2):
+        s_dp, _ = par(s_dp, shard_batch(fake_batch(16, 16, seed=i), mesh))
+
+    single = make_single_step(build_train_step(cfg, phase))
+    s_1 = prepared(create_train_state(cfg, jax.random.PRNGKey(0)))
+    for i in range(2):
+        s_1, _ = single(s_1, fake_batch(16, 16, seed=i))
+
+    assert float(jax.device_get(s_dp.shown_imgs)) == shown0 + 32.0
+    c_dp = contraction(g0, e0, s_dp)
+    c_1 = contraction(g0, e0, s_1)
+    assert c_dp == pytest.approx(expected, rel=1e-4)
+    assert c_1 == pytest.approx(expected, rel=1e-4)
