@@ -382,9 +382,11 @@ def _resample_pass(x: jax.Array, f: jax.Array, res: int,
     2-tap interpolation is expressed as a ONE-HOT EINSUM instead of a
     gather: the tent weights over an iota ride the MXU as a matmul, and
     its transpose (the VJP) is just the mirrored einsum. Measured on the
-    v5-lite at (32, 256, 256, 3): 8.4 ms fwd / 17.5 ms fwd+bwd for two
-    passes, vs 59.6 / 409 ms for the 4-tap gather it replaces (the
-    gather's scatter-add backward is the catastrophic part).
+    v5-lite at (32, 256, 256, 3): 9.0 ms fwd / 14.2 ms fwd+bwd for two
+    passes in the r4 channel-transposed form (scripts/bench_warp.py;
+    9.5 / 17.8 for the straight einsum), vs 59.6 / 409 ms for the 4-tap
+    gather it replaces (the gather's scatter-add backward is the
+    catastrophic part).
 
     Exactness: integer coordinates give weights {0, 1}, so the einsum
     reduces to an exact copy — identity affines stay bit-identical.
@@ -397,10 +399,19 @@ def _resample_pass(x: jax.Array, f: jax.Array, res: int,
     def interp(w_, i0_, i1_, src):
         weights = ((1.0 - w_)[..., None] * (s == i0_[..., None])
                    + w_[..., None] * (s == i1_[..., None])).astype(src.dtype)
+        # Channel-as-M transposed contraction (measured r4, scripts/
+        # bench_warp.py): the straight einsum's batched matmul has
+        # N = C = 3 output lanes — 3/128 of the MXU lane width; putting
+        # C on the M side makes the res-wide output dim the lane dim and
+        # pads only M (3 -> 8 sublanes). Same per-tap arithmetic; -20%
+        # fwd+bwd at (32, 256^2, 3) vs the straight form.
         if axis == 2:
-            return jnp.einsum("byxs,bysc->byxc", weights, src)
-        return jnp.einsum("bysx,bsxc->byxc",
-                          jnp.moveaxis(weights, -1, 2), src)
+            xt = jnp.moveaxis(src, -1, -2)            # (b, y, c, s)
+            out = jnp.einsum("bycs,byxs->bycx", xt, weights)
+            return jnp.moveaxis(out, -2, -1)
+        xt = jnp.transpose(src, (0, 2, 3, 1))         # (b, x, c, s)
+        out = jnp.einsum("bxcs,byxs->bxcy", xt, weights)
+        return jnp.transpose(out, (0, 3, 1, 2))
 
     # The one-hot tensor is (B, H, W, res); above ~512^2 its residency
     # (if XLA materializes the fusion) threatens HBM, so scan over
