@@ -130,6 +130,10 @@ def main(argv=None) -> int:
     p_proj.add_argument("--lr", type=float, default=0.1)
     p_proj.add_argument("--w-space", action="store_true",
                         help="optimize one shared w (default: W+ per layer)")
+    p_proj.add_argument("--optimize-noise", action="store_true",
+                        help="also optimize per-layer noise buffers "
+                             "(official StyleGAN2 projector; style "
+                             "families only)")
     p_proj.add_argument("--out", default=None,
                         help="output dir (default WORKDIR/projections)")
 
@@ -397,7 +401,8 @@ def main(argv=None) -> int:
             state = trainer.state
             result = project(cfg, state.params_ema, state.w_avg, target,
                              num_steps=args.steps, lr=args.lr,
-                             w_plus=not args.w_space, seed=cfg.run.seed)
+                             w_plus=not args.w_space, seed=cfg.run.seed,
+                             optimize_noise=args.optimize_noise)
             out_dir = args.out or os.path.join(args.workdir, "projections")
             os.makedirs(out_dir, exist_ok=True)
             recon = np.asarray(jax.device_get(result.images))
@@ -407,6 +412,10 @@ def main(argv=None) -> int:
                                    ncol=2)
             lat_path = os.path.join(out_dir, "latents.npy")
             np.save(lat_path, np.asarray(jax.device_get(result.latents)))
+            if result.noises is not None:
+                np.savez(os.path.join(out_dir, "noises.npz"),
+                         **{f"noise{i}": np.asarray(jax.device_get(n))
+                            for i, n in enumerate(result.noises)})
             losses = np.asarray(jax.device_get(result.losses))
             print(f"projection: {grid} ({'W' if result.is_w_space else 'z'}"
                   f" space; loss {losses[0]:.4f} -> {losses[-1]:.4f}; "

@@ -47,6 +47,14 @@ def num_style_layers(res_log2: int) -> int:
     return 2 * (res_log2 - 1)
 
 
+def noise_shapes(res_log2: int) -> list:
+    """(H, W) of each explicit noise map, in style-layer index order:
+    two 4x4 maps, then two maps per resolution 8..2^res_log2."""
+    return [(4, 4), (4, 4)] + [
+        (2 ** lg, 2 ** lg)
+        for lg in range(3, res_log2 + 1) for _ in range(2)]
+
+
 class MappingNetwork(nn.Module):
     """Z -> W: pixelnorm then 8 equalized FC+LeakyReLU layers (lr_mult 0.01)."""
 
@@ -111,10 +119,12 @@ class SynthesisBlock(nn.Module):
     fold: bool = False
 
     @nn.compact
-    def __call__(self, x, w_a, w_b):
+    def __call__(self, x, w_a, w_b, noise_a=None, noise_b=None):
         if self.fold:
             from ganlab_tpu.ops import folded as fd
 
+            assert noise_a is None and noise_b is None, \
+                "explicit noise unsupported when folded"
             x = fd.upsample_blur_2x_folded(x, blur=self.blur)
             x = EqualConv(self.features, 3, use_bias=False, fold=True,
                           name="conv0")(x)
@@ -133,9 +143,9 @@ class SynthesisBlock(nn.Module):
         else:
             x = upsample_blur_2x(x) if self.blur else upsample_nearest_2x(x)
             x = EqualConv(self.features, 3, use_bias=False, name="conv0")(x)
-        x = StyleLayer(self.features, name="style0")(x, w_a)
+        x = StyleLayer(self.features, name="style0")(x, w_a, noise=noise_a)
         x = EqualConv(self.features, 3, use_bias=False, name="conv1")(x)
-        x = StyleLayer(self.features, name="style1")(x, w_b)
+        x = StyleLayer(self.features, name="style1")(x, w_b, noise=noise_b)
         return x
 
 
@@ -166,29 +176,41 @@ class SynthesisNetwork(nn.Module):
             EqualConv(cfg.img_channels, 1, gain=1.0, name=f"torgb{2 ** lg}")
             for lg in range(2, max_lg + 1))
 
-    def _block4(self, ws, batch, dtype):
+    def _block4(self, ws, batch, dtype, noises=None):
         x = self.const(batch, dtype)
-        x = self.style4_0(x, ws[:, 0])
+        x = self.style4_0(x, ws[:, 0],
+                          noise=None if noises is None else noises[0])
         x = self.conv4(x)
-        x = self.style4_1(x, ws[:, 1])
+        x = self.style4_1(x, ws[:, 1],
+                          noise=None if noises is None else noises[1])
         return x
 
-    def _block(self, i, x, ws):
+    def _block(self, i, x, ws, noises=None):
         """Block for resolution 2**(i+3); consumes style layers 2i+2, 2i+3."""
-        return self.blocks[i](x, ws[:, 2 * i + 2], ws[:, 2 * i + 3])
+        if noises is None:
+            return self.blocks[i](x, ws[:, 2 * i + 2], ws[:, 2 * i + 3])
+        return self.blocks[i](x, ws[:, 2 * i + 2], ws[:, 2 * i + 3],
+                              noises[2 * i + 2], noises[2 * i + 3])
 
-    def __call__(self, ws, res_log2: int | None = None, alpha=1.0):
-        """ws: (N, L, w_dim) per-layer styles; returns (N, 2^lg, 2^lg, C)."""
+    def __call__(self, ws, res_log2: int | None = None, alpha=1.0,
+                 noises=None):
+        """ws: (N, L, w_dim) per-layer styles; returns (N, 2^lg, 2^lg, C).
+
+        ``noises``: optional per-style-layer explicit noise maps (sequence
+        of (N, H_l, W_l, 1), one per style layer in index order — the
+        shapes of :func:`noise_shapes`). None draws fresh noise from the
+        'noise' RNG stream; explicit maps make synthesis a deterministic
+        function of its inputs (the projector optimizes them)."""
         lg = self.cfg.res_log2 if res_log2 is None else res_log2
         assert 2 <= lg <= self.cfg.res_log2
 
-        x = self._block4(ws, ws.shape[0], ws.dtype)
+        x = self._block4(ws, ws.shape[0], ws.dtype, noises)
         if lg == 2:
             return self.torgb[0](x)
         prev = None
         for i in range(lg - 2):
             prev = x
-            x = self._block(i, x, ws)
+            x = self._block(i, x, ws, noises)
         new_rgb = self.torgb[lg - 2](x)
         if static_stable(alpha):
             # Stabilize phase: skip the dead fade branch at trace time
@@ -249,8 +271,9 @@ class StyleGenerator(nn.Module):
     def map_latents(self, z):
         return self.mapping(z)
 
-    def synthesize(self, ws, res_log2: int | None = None, alpha=1.0):
-        return self.synthesis(ws, res_log2, alpha)
+    def synthesize(self, ws, res_log2: int | None = None, alpha=1.0,
+                   noises=None):
+        return self.synthesis(ws, res_log2, alpha, noises)
 
     def __call__(self, z, res_log2: int | None = None, alpha=1.0,
                  z2=None, crossover=None):

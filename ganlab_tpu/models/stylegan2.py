@@ -40,6 +40,15 @@ from ganlab_tpu.ops.equalized import leaky_relu
 from ganlab_tpu.ops.modulated import modulated_conv2d
 
 
+def noise_shapes(res_log2: int) -> list:
+    """(H, W) of each explicit noise map, in noise-layer order: one 4x4
+    map (conv4), then two maps per resolution 8..2^res_log2 (conv0/conv1
+    of each skip block). toRGB layers take no noise (activate=False)."""
+    return [(4, 4)] + [
+        (2 ** lg, 2 ** lg)
+        for lg in range(3, res_log2 + 1) for _ in range(2)]
+
+
 class ModulatedLayer(nn.Module):
     """Style affine -> modulated conv (+demod) -> noise -> bias -> lrelu.
 
@@ -59,7 +68,7 @@ class ModulatedLayer(nn.Module):
     gain: float = math.sqrt(2.0)
 
     @nn.compact
-    def __call__(self, x, w_vec):
+    def __call__(self, x, w_vec, noise=None):
         ci = x.shape[-1]
         s = EqualDense(ci, gain=1.0, bias_init=1.0, name="affine")(w_vec)
         wk = self.param(
@@ -68,7 +77,7 @@ class ModulatedLayer(nn.Module):
         y = modulated_conv2d(x, wk.astype(x.dtype), s,
                              demodulate=self.demodulate, gain=self.gain)
         if self.activate:
-            y = NoiseInjection(name="noise")(y)
+            y = NoiseInjection(name="noise")(y, noise=noise)
         b = self.param("b", nn.initializers.zeros, (self.features,))
         y = y + b.astype(y.dtype)
         if self.activate:
@@ -94,10 +103,10 @@ class Synthesis2Block(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, w_a, w_b):
+    def __call__(self, x, w_a, w_b, noise_a=None, noise_b=None):
         x = upsample_blur_2x(x)
-        x = ModulatedLayer(self.features, name="conv0")(x, w_a)
-        x = ModulatedLayer(self.features, name="conv1")(x, w_b)
+        x = ModulatedLayer(self.features, name="conv0")(x, w_a, noise=noise_a)
+        x = ModulatedLayer(self.features, name="conv1")(x, w_b, noise=noise_b)
         return x
 
 
@@ -118,21 +127,31 @@ class Synthesis2Network(nn.Module):
             ToRGB(cfg.img_channels, name=f"torgb{2 ** lg}")
             for lg in range(2, max_lg + 1))
 
-    def __call__(self, ws, res_log2: int | None = None, alpha=1.0):
-        """ws: (N, L, w_dim); alpha accepted and ignored (skip arch)."""
+    def __call__(self, ws, res_log2: int | None = None, alpha=1.0,
+                 noises=None):
+        """ws: (N, L, w_dim); alpha accepted and ignored (skip arch).
+
+        ``noises``: optional explicit noise maps in noise-layer order
+        (:func:`noise_shapes` — one 4x4 map, then two per resolution);
+        None draws from the 'noise' RNG stream."""
         del alpha
         lg = self.cfg.res_log2 if res_log2 is None else res_log2
         assert 2 <= lg <= self.cfg.res_log2
 
         x = self.const(ws.shape[0], ws.dtype)
-        x = self.conv4(x, ws[:, 0])
+        x = self.conv4(x, ws[:, 0],
+                       noise=None if noises is None else noises[0])
         # Each toRGB consumes the NEXT style index (the official StyleGAN2
         # indexing: toRGB shares the dlatent of the following conv layer;
         # the top one takes the final index L-1) — every one of the
         # L = 2*(lg-1) style rows is consumed.
         rgb = self.torgb[0](x, ws[:, 1])
         for i in range(lg - 2):
-            x = self.blocks[i](x, ws[:, 2 * i + 1], ws[:, 2 * i + 2])
+            if noises is None:
+                x = self.blocks[i](x, ws[:, 2 * i + 1], ws[:, 2 * i + 2])
+            else:
+                x = self.blocks[i](x, ws[:, 2 * i + 1], ws[:, 2 * i + 2],
+                                   noises[2 * i + 1], noises[2 * i + 2])
             rgb = upsample_blur_2x(rgb) + \
                 self.torgb[i + 1](x, ws[:, 2 * i + 3])
         return rgb
@@ -154,8 +173,9 @@ class StyleGAN2Generator(nn.Module):
     def map_latents(self, z):
         return self.mapping(z)
 
-    def synthesize(self, ws, res_log2: int | None = None, alpha=1.0):
-        return self.synthesis(ws, res_log2, alpha)
+    def synthesize(self, ws, res_log2: int | None = None, alpha=1.0,
+                   noises=None):
+        return self.synthesis(ws, res_log2, alpha, noises)
 
     def __call__(self, z, res_log2: int | None = None, alpha=1.0,
                  z2=None, crossover=None):

