@@ -230,6 +230,12 @@ def main():
                 # ema_rampup) so the judged EMA generator isn't anchored
                 # to the random init. Same for both recipes.
                 "optim.ema_rampup": 0.05,
+                # In-training metric curve (run.eval_kimg, r4): FID/KID
+                # every 8 kimg in each run's train.jsonl — divergence is
+                # visible DURING the run, not just at checkpoint scoring.
+                "run.eval_kimg": 8.0,
+                "run.eval_samples": 2048,
+                "run.eval_extractor": "randconv",
                 **recipe,
             }
             if args.data_dir:
