@@ -196,6 +196,17 @@ def measure(only_mode: str | None = None) -> dict:
                                round(max(windows), 1)],
         }
 
+    # Recipe tag: identifies WHICH preset recipe these numbers measure so
+    # the ratchet cache never serves a number from a superseded default
+    # (the r4 fusedseq -> lazy16 revision is exactly this hazard).
+    _c = get_config("stylegan-256")
+    recipe = (f"pen{_c.loss.penalty_every}"
+              + ("-fusedseq" if _c.loss.fused_seq else "-seq")
+              + ("-fused" if _c.loss.fused_g_step else ""))
+    if "--child" in sys.argv:
+        # Streamed early so a timeout-salvaged partial still carries it.
+        print(f"CHILD_RECIPE {recipe}", flush=True)
+
     modes = {}
     for mode, batch in MODES:
         if only_mode is not None and mode != only_mode:
@@ -203,7 +214,8 @@ def measure(only_mode: str | None = None) -> dict:
         modes[mode] = run_mode(mode, batch)
         modes[mode]["batch"] = batch
     best_mode = max(modes, key=lambda m: modes[m]["median"])
-    return {**modes[best_mode], "dispatch": best_mode, "modes": modes}
+    return {**modes[best_mode], "dispatch": best_mode, "modes": modes,
+            "recipe": recipe}
 
 
 def _run_mode_child(mode: str) -> dict:
@@ -227,7 +239,10 @@ def _run_mode_child(mode: str) -> dict:
             return {"error": f"{mode}: child timeout {CHILD_TIMEOUT}s "
                              "(no windows)"}
         import statistics
+        rec = next((ln.split(None, 1)[1] for ln in stdout.splitlines()
+                    if ln.startswith("CHILD_RECIPE ")), None)
         return {"median": statistics.median(ws), "dispatch": mode,
+                "recipe": rec,
                 "windows_img_s": [round(w, 1) for w in ws],
                 "window_min_max": [round(min(ws), 1), round(max(ws), 1)],
                 "partial": f"{mode}: {len(ws)}/5 windows before "
@@ -345,6 +360,7 @@ def main() -> None:
         "windows_img_s": best["windows_img_s"],
         "window_min_max": best["window_min_max"],
         "stat": best.get("partial", "median_of_5"),
+        "recipe": best.get("recipe"),
         "attempts": [a.get("median", a.get("error")) for a in attempts],
         "note": "best fresh-process median; the tunneled relay is bimodal "
                 "(healthy vs degraded windows) and per-process — all "
@@ -367,6 +383,11 @@ def main() -> None:
         if os.path.exists(CACHE_PATH):
             with open(CACHE_PATH) as f:
                 prev = json.load(f)
+        if prev is not None and row.get("recipe") is not None \
+                and prev.get("recipe") != row["recipe"]:
+            # Recipe revision: a ratcheted number for a superseded
+            # default must never outrank or backstop the new recipe.
+            prev = None
         now = time.strftime("%Y-%m-%d %H:%M")
         if prev is None or row["value"] >= prev.get("value", 0.0):
             row["measured_at"] = now
