@@ -122,10 +122,10 @@ def measure(only_mode: str | None = None) -> dict:
     note(f"devices: {jax.devices()}")
 
     def run_mode(mode, batch):
-        # The preset's recommended recipe (r3): lazy R1 (k=16) with the
-        # official Adam compensation, shared-batch sequential G step
-        # (loss.fused_seq — the fused pre-update-D variant measured
-        # FID-destabilizing), bf16. Dispatch: 'chunked' = 2 host
+        # The preset's recommended recipe (r4): official sequential
+        # lazy R1 (k=16) with the Adam compensation, bf16 — both fused
+        # variants measured FID-harmful and reverted to opt-ins
+        # (BASELINE.md Findings 4 and 6). Dispatch: 'chunked' = 2 host
         # dispatches per 16-step cycle via lax.scan; 'single' = one
         # dispatch per step.
         over = {"schedule.batch_schedule": {256: batch},

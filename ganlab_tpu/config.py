@@ -426,21 +426,21 @@ def _preset_stylegan256() -> Config:
       the judged metric, so the default recipe takes the honest
       sequential update; `--set loss.fused_g_step=true` restores the
       throughput recipe for raw-speed runs.
-    * fused_seq is ON instead (r3, second A/B round): the shared-batch
-      sequential step keeps the D update BITWISE identical to the plain
-      sequential recipe (tested) while XLA CSEs the G forward, worth
-      ~+8% measured (156 -> 168 img/s single-step b16). Its own A/B arm
-      scored at-or-better than the lazy16 arm it extends on both
-      extractors (BASELINE.md Finding 5), so the deviation — G scoring
-      the D step's latent batch under the post-update D, the standard
-      DCGAN pattern — is measured, not assumed.
+    * fused_seq is OFF again as of round 4 (BASELINE.md Finding 6): the
+      r3 promotion rested on a 3-seed EMA-smoothed A/B; the r4
+      re-measurement (5 seeds x 64 kimg x 4 averaged checkpoints,
+      ema_rampup, bootstrap CIs) puts the shared-batch deviation at
+      +66% inception FID vs parity with CI [+19%, +113%] — confidently
+      harmful. `--set loss.fused_seq=true` restores its ~+8% for
+      raw-speed runs; the default recipe is the official sequential
+      lazy-16.
     """
     return Config(
         model=ModelConfig(model="stylegan", resolution=256),
         loss=LossConfig(loss="nonsaturating", penalty="r1",
                         penalty_weight=10.0, drift_weight=0.0,
                         penalty_every=16, fused_g_step=False,
-                        fused_seq=True),
+                        fused_seq=False),
         # G-EMA horizon in kimg (official half-life 10k imgs): the judged
         # FID is computed from the EMA generator, and a per-step ema_beta
         # would shrink the horizon x N_devices under DP (VERDICT r2 #4).
@@ -460,12 +460,12 @@ def _preset_stylegan2_256() -> Config:
         model=ModelConfig(model="stylegan2", resolution=256, d_resnet=True),
         loss=LossConfig(loss="nonsaturating", penalty="r1",
                         penalty_weight=10.0, drift_weight=0.0,
-                        # sequential update as of r3 (fused destabilizes
-                        # FID — see _preset_stylegan256 / BASELINE.md);
-                        # shared-batch G forward (fused_seq) measured
-                        # quality-neutral vs the lazy16 default it extends
+                        # sequential lazy-16 as of r4: fused destabilizes
+                        # FID (r3) and the shared-batch fused_seq measured
+                        # +66% inception FID under the high-power r4 A/B
+                        # (BASELINE.md Finding 6) — both stay opt-in
                         penalty_every=16, fused_g_step=False,
-                        fused_seq=True, pl_weight=2.0, pl_every=4),
+                        fused_seq=False, pl_weight=2.0, pl_every=4),
         optim=OptimConfig(ema_kimg=10.0),  # device-count-invariant G-EMA
         schedule=ScheduleConfig(progressive=False),
     )

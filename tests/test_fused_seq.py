@@ -31,8 +31,9 @@ def tiny_cfg(**over):
         "model.mapping_layers": 2,
         "schedule.progressive": False,
         "run.compute_dtype": "float32",
-        # fused_seq is the PRESET default as of r3; this file A/Bs it
-        # against the plain sequential step, so the base pins it OFF.
+        # This file A/Bs fused_seq against the plain sequential step, so
+        # the base pins it OFF explicitly (it was the preset default
+        # during r3; reverted r4 — BASELINE.md Finding 6).
         "loss.fused_seq": False,
     }
     base.update(over)
