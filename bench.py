@@ -211,8 +211,15 @@ def measure(only_mode: str | None = None) -> dict:
     for mode, batch in MODES:
         if only_mode is not None and mode != only_mode:
             continue
+        if mode == "chunked" and _c.loss.penalty_every <= 1:
+            # Strict-parity recipe (R1 every step) has no off-run to
+            # scan; the chunked dispatch mode doesn't exist for it.
+            continue
         modes[mode] = run_mode(mode, batch)
         modes[mode]["batch"] = batch
+    if not modes:
+        modes["single"] = run_mode("single", dict(MODES)["single"])
+        modes["single"]["batch"] = dict(MODES)["single"]
     best_mode = max(modes, key=lambda m: modes[m]["median"])
     return {**modes[best_mode], "dispatch": best_mode, "modes": modes,
             "recipe": recipe}
