@@ -136,12 +136,27 @@ class LossConfig:
     pl_every: int = 4
     pl_decay: float = 0.01
     pl_batch_shrink: int = 2
+    # Two-phase regularization step (the official StyleGAN2-ADA trainer's
+    # Dmain/Dreg structure): on a penalty tick the D takes TWO optimizer
+    # updates — the main adversarial loss first, then a SEPARATE
+    # penalty-only gradient step evaluated at the post-main weights —
+    # instead of one update on the summed objective. With Adam the two
+    # differ: summing lets a k-scaled penalty impulse dominate the shared
+    # moment estimates and the step direction; separating bounds each
+    # phase's update independently (r4 Finding 7 context: lazy-R1
+    # trajectory spikes at short budgets). Default False = summed (the
+    # r1-r3 behavior). Requires the sequential step (not fused_g_step).
+    reg_separate: bool = False
 
     def __post_init__(self):
         if self.fused_g_step and self.fused_seq:
             raise ValueError(
                 "loss.fused_g_step and loss.fused_seq are mutually "
                 "exclusive (pre-update-D fused vs shared-batch sequential)")
+        if self.reg_separate and self.fused_g_step:
+            raise ValueError(
+                "loss.reg_separate needs the sequential step (the fused "
+                "one-backward update cannot split the penalty phase)")
 
 
 @dataclass(frozen=True)

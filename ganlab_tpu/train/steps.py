@@ -167,6 +167,12 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
                     else penalty_override)
     pen_weight = lc.penalty_weight * (
         lc.penalty_every if penalty_override is True else 1)
+    # Two-phase D regularization (official ADA Dmain/Dreg; loss docs).
+    reg_separate = lc.reg_separate and has_penalty
+    if reg_separate and accum > 1:
+        raise ValueError("loss.reg_separate with optim.grad_accum > 1 is "
+                         "not supported (the accumulation scan folds the "
+                         "penalty into the main gradient sum)")
 
     # Path-length regularization on G (StyleGAN2 extension; loss.pl_*).
     # Same lazy-override pattern as the D penalty: None = as configured
@@ -366,8 +372,14 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
             real_s = d_apply(params_d, real, alpha)
             fake_s = d_apply(params_d, fake_d, alpha)
             loss = d_loss_fn_base(real_s, fake_s)
-            penalty = penalty_term(params_d, alpha, real, fake_d, k_gp,
-                                   real_s)
+            if reg_separate:
+                # Official ADA Dmain phase: adversarial loss (+ drift)
+                # only; the penalty gets its own optimizer step below.
+                penalty = (L.drift_penalty(real_s, lc.drift_weight)
+                           if lc.drift_weight else jnp.float32(0.0))
+            else:
+                penalty = penalty_term(params_d, alpha, real, fake_d,
+                                       k_gp, real_s)
             aux = {"d_loss": loss, "penalty": penalty,
                    "real_score": jnp.mean(real_s),
                    "fake_score": jnp.mean(fake_s)}
@@ -381,6 +393,28 @@ def build_train_step(cfg: Config, phase: PhaseSpec,
         d_updates, new_opt_d = opt_d.update(d_grads, state.opt_d,
                                             state.params_d)
         new_params_d = optax.apply_updates(state.params_d, d_updates)
+
+        if reg_separate and with_penalty:
+            # Official ADA Dreg phase: a SEPARATE penalty-only gradient
+            # step, evaluated at the post-main weights, through the same
+            # optimizer chain (Adam count advances twice on tick steps,
+            # exactly like the official two-phase loop). Keeps the
+            # k-scaled penalty impulse out of the main step's direction
+            # and moment estimates.
+            def d_reg_objective(params_d):
+                critic = lambda x: d_apply(params_d, x, alpha)  # noqa: E731
+                if lc.penalty == "wgan-gp":
+                    return L.wgan_gp(critic, real, fake_d, k_gp,
+                                     pen_weight)
+                return L.r1_penalty(critic, real, pen_weight)
+
+            pen_val, reg_grads = jax.value_and_grad(d_reg_objective)(
+                new_params_d)
+            reg_grads = pmean(reg_grads)
+            reg_updates, new_opt_d = opt_d.update(reg_grads, new_opt_d,
+                                                  new_params_d)
+            new_params_d = optax.apply_updates(new_params_d, reg_updates)
+            d_aux = {**d_aux, "penalty": pen_val}
         if ada_active:
             ada_rt = pmean(d_aux.pop("rt"))
             new_ada_p = ada_update(state, ada_rt, batch)
