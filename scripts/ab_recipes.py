@@ -65,6 +65,13 @@ RECIPES = {
     # Measured Finding 5 (BASELINE.md) -> promoted to the preset default.
     "fusedseq": {"loss.penalty_every": 16, "loss.fused_g_step": False,
                  "loss.fused_seq": True},
+    # Two-phase lazy regularization (r4, Finding 7 follow-up): the
+    # official Dmain/Dreg structure — main loss every step, a
+    # penalty-only step on the lazy cadence. Candidate mitigation for
+    # lazy16's short-budget FID transient (eager-like gradient timing
+    # at near-lazy cost).
+    "regsep": {"loss.penalty_every": 16, "loss.fused_g_step": False,
+               "loss.fused_seq": False, "loss.reg_separate": True},
     # ADA measurement arms (vs parity, on a SMALL pool via --num-images):
     # quantify the augmentation extension's effect in the D-overfitting
     # regime it was built for — blit+color, and with the geometric
