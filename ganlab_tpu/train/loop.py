@@ -248,6 +248,14 @@ class Trainer:
                             self.state, stack if n == chunk else stack[:n])
                         n = int(jax.tree.leaves(mstack)[0].shape[0])
                         metrics = jax.tree.map(lambda x: x[-1], mstack)
+                        # The chunk's last step is always a lazy off-step
+                        # (penalty/PL fire at the cycle head), so "last"
+                        # would log those as a constant 0. They are
+                        # nonnegative and exactly 0 on off-steps, so the
+                        # chunk max IS the cycle's fired (k-scaled) value.
+                        for lazy_key in ("penalty", "pl_penalty"):
+                            if lazy_key in metrics:
+                                metrics[lazy_key] = mstack[lazy_key].max()
                         steps_done += n
                         shown += n * global_batch
                     else:

@@ -204,3 +204,13 @@ class TestTrainerChunked:
         tr.train()
         assert int(jax.device_get(tr.state.step)) == 2 * K + 1
         tr.close()
+        # The chunk's last step is an off-step, so a naive "last" metric
+        # reduction would log penalty as a constant 0; the logged row must
+        # carry the cycle's FIRED (k-scaled) penalty instead.
+        import json
+
+        rows = [json.loads(line)
+                for line in open(tmp_path / "train.jsonl")]
+        chunk_rows = [r for r in rows if r["step"] % K == 0]
+        assert chunk_rows, rows
+        assert all(r["penalty"] > 0.0 for r in chunk_rows), chunk_rows
