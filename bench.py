@@ -343,6 +343,25 @@ def main() -> None:
         try:
             with open(CACHE_PATH) as f:
                 row = json.load(f)
+            # Same recipe guard as the live-path ratchet: a cached number
+            # for a superseded preset recipe must not backstop this run.
+            # The current recipe comes from a bounded subprocess (config
+            # import only — the parent never imports JAX itself).
+            try:
+                cur = subprocess.run(
+                    [sys.executable, "-c",
+                     "from ganlab_tpu.config import get_config\n"
+                     "c = get_config('stylegan-256').loss\n"
+                     "print(f'pen{c.penalty_every}'"
+                     " + ('-fusedseq' if c.fused_seq else '-seq')"
+                     " + ('-fused' if c.fused_g_step else ''))"],
+                    capture_output=True, text=True, timeout=120,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                ).stdout.strip()
+            except Exception:
+                cur = None
+            if cur and row.get("recipe") != cur:
+                raise OSError("cached row is for a superseded recipe")
             row["note"] = ("cached result from a previous run; every live "
                            "child this run failed (relay wedged)")
             row["attempts"] = [a.get("median", a.get("error"))
@@ -355,7 +374,8 @@ def main() -> None:
                 "vs_baseline": 0.0,
                 "attempts": [a.get("median", a.get("error"))
                              for a in attempts],
-                "note": "all live children failed and no cache exists"}))
+                "note": "all live children failed; no usable cache "
+                        "(absent or for a superseded recipe)"}))
         return
 
     value = best["median"]
