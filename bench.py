@@ -52,10 +52,16 @@ V100_BASELINE_IMG_PER_SEC = 40.0
 MODES = (("single", 32), ("chunked", 16))
 TIMED_STEPS = 32             # 2 full lazy-R1 intervals (k=16)
 
-CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "bench_cache.json")
+# Test seams (tests/test_bench_contract.py): the parent's scheduling /
+# salvage / ratchet / fallback logic is tested hermetically by stubbing
+# the child command and shrinking the child timeout; production runs
+# never set these.
+CACHE_PATH = os.environ.get(
+    "GANLAB_BENCH_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "bench_cache.json"))
 WATCHDOG_SECS = 1400
-CHILD_TIMEOUT = 360
+CHILD_TIMEOUT = int(os.environ.get("GANLAB_BENCH_CHILD_TIMEOUT", 360))
 MAX_RETRIES_PER_MODE = 2     # beyond the first attempt
 PRE_COOLDOWN = 90            # idle before the first child (relay recovery)
 MODE_COOLDOWN = 30           # idle between first-pass mode children
@@ -229,10 +235,13 @@ def _run_mode_child(mode: str) -> dict:
     """One fresh measuring process for ONE dispatch mode. Returns a
     result dict: full ({'median', 'windows_img_s', ...}), salvaged
     partial (adds 'partial'), or {'error': ...}."""
+    stub = os.environ.get("GANLAB_BENCH_CHILD_STUB")
+    cmd = ([sys.executable, stub, mode] if stub else
+           [sys.executable, os.path.abspath(__file__), "--child",
+            "--mode", mode])
     try:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             "--mode", mode],
+            cmd,
             capture_output=True, text=True, timeout=CHILD_TIMEOUT,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         stdout = out.stdout
