@@ -358,6 +358,20 @@ class Config:
     run: RunConfig = field(default_factory=RunConfig)
     aug: AugConfig = field(default_factory=AugConfig)
 
+    def __post_init__(self):
+        # Cross-section recipe exclusivity (the within-section ones live
+        # in each section's __post_init__): the accumulation scan folds
+        # the penalty into the main gradient sum, which contradicts
+        # reg_separate's two-phase Dmain/Dreg split. Reject at config
+        # construction — not at build_train_step compile time — so a
+        # bad combination fails when the user writes it (VERDICT r4).
+        if self.loss.reg_separate and self.optim.grad_accum > 1 \
+                and self.loss.penalty in ("wgan-gp", "r1"):
+            raise ValueError(
+                "loss.reg_separate with optim.grad_accum > 1 is not "
+                "supported (the accumulation scan folds the penalty "
+                "into the main gradient sum)")
+
     @property
     def pl_active(self) -> bool:
         """Path-length regularization configured? (The single source of

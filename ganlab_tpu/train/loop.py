@@ -185,6 +185,11 @@ class Trainer:
         run = cfg.run
         max_steps = max_steps if max_steps is not None else run.total_steps
         steps_done = 0
+        # Logged steps are GLOBAL (state.step), not process-local: a
+        # resumed/retried run must append monotonic step keys to
+        # train.jsonl or step-keyed plots of the curve mislead
+        # (ADVICE r4). One host fetch per train() call.
+        start_step = int(jax.device_get(self.state.step))
         shown = float(jax.device_get(self.state.shown_imgs))
         metrics = {}
 
@@ -268,7 +273,7 @@ class Trainer:
                         self._stop_trace(metrics)
                         self._trace_done = True
 
-                    step_i = steps_done
+                    step_i = start_step + steps_done
 
                     def crossed(every):
                         return every and \

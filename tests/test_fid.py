@@ -39,6 +39,39 @@ class TestFrechetMath:
         fid = compute_fid(f1, f2)
         assert fid == pytest.approx(1.0, abs=0.05)
 
+    def test_matches_scipy_sqrtm_well_conditioned(self):
+        # The PSD-eigh trace route must agree with the textbook
+        # scipy sqrtm formula where the latter is reliable.
+        from scipy import linalg
+
+        rng = np.random.RandomState(2)
+        f1, f2 = rng.randn(400, 12), rng.randn(400, 12) * 1.3 + 0.2
+        mu1, s1 = compute_statistics(f1)
+        mu2, s2 = compute_statistics(f2)
+        cm = linalg.sqrtm(s1 @ s2)
+        ref = float((mu1 - mu2) @ (mu1 - mu2) + np.trace(s1)
+                    + np.trace(s2) - 2.0 * np.trace(np.real(cm)))
+        assert frechet_distance(mu1, s1, mu2, s2) == \
+            pytest.approx(ref, rel=1e-8)
+
+    def test_rank_deficient_no_warning(self):
+        # N < D: covariances are structurally singular (the judged
+        # inception protocol is 2048 samples x 2048 dims). The eigh
+        # route must stay finite, nonnegative, and warning-free where
+        # scipy sqrtm warns LinAlgWarning (ADVICE r4).
+        import warnings
+
+        rng = np.random.RandomState(3)
+        f1, f2 = rng.randn(40, 64), rng.randn(40, 64) + 0.5
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            fid = compute_fid(f1, f2)
+        assert np.isfinite(fid) and fid > 0
+        # Identical rank-deficient inputs still score ~0 (roundoff can
+        # leave it a hair negative — same as the sqrtm route).
+        mu, s = compute_statistics(f1)
+        assert frechet_distance(mu, s, mu, s) == pytest.approx(0.0, abs=1e-5)
+
 
 class TestRandomConvExtractor:
     def test_deterministic(self):

@@ -46,10 +46,11 @@ def _adam_counts(opt_state):
 def test_guards():
     with pytest.raises(ValueError):
         tiny_cfg(**{"loss.reg_separate": True, "loss.fused_g_step": True})
-    cfg = tiny_cfg(**{"loss.reg_separate": True, "optim.grad_accum": 2})
-    phase = build_phases(cfg.schedule, cfg.model)[-1]
-    with pytest.raises(ValueError):
-        build_train_step(cfg, phase)
+    # reg_separate x grad_accum is rejected at CONFIG construction
+    # (Config.__post_init__), not at build_train_step compile time
+    # (VERDICT r4): the user finds out when writing the config.
+    with pytest.raises(ValueError, match="grad_accum"):
+        tiny_cfg(**{"loss.reg_separate": True, "optim.grad_accum": 2})
 
 
 def test_tick_takes_two_d_optimizer_steps():
