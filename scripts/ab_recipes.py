@@ -115,7 +115,7 @@ def summarize(results: dict, extractors, seeds, args) -> dict:
     for ename in extractors:
         per_arm = {}
         for arm in arms:
-            rels, rows, ckpt_rels = [], {}, []
+            rels, rows, seed_ckpt_rels = [], {}, []
             for seed in seeds:
                 pk, ak = f"s{seed}_parity", f"s{seed}_{arm}"
                 if pk not in results or ak not in results:
@@ -126,13 +126,14 @@ def summarize(results: dict, extractors, seeds, args) -> dict:
                 rows[f"seed{seed}"] = {"parity": p, arm: a,
                                        "fid_rel": round(rel, 4)}
                 # Paired per-checkpoint view (same eval fraction in both
-                # arms): diagnostic only — checkpoints within a seed share
-                # a trajectory, so the CI unit stays the seed.
-                for cp, ca in zip(results[pk]["checkpoints"],
-                                  results[ak]["checkpoints"]):
-                    ckpt_rels.append(
-                        (ca[ename]["fid"] - cp[ename]["fid"])
-                        / max(cp[ename]["fid"], 1e-9))
+                # arms). Checkpoints within a seed share a trajectory, so
+                # the CI unit stays the seed: collect each seed's own
+                # paired mean and bootstrap over seeds, same as mean_rel.
+                pairs = [(ca[ename]["fid"] - cp[ename]["fid"])
+                         / max(cp[ename]["fid"], 1e-9)
+                         for cp, ca in zip(results[pk]["checkpoints"],
+                                           results[ak]["checkpoints"])]
+                seed_ckpt_rels.append(sum(pairs) / len(pairs))
             if not rels:
                 continue
             mean_rel = sum(rels) / len(rels)
@@ -141,8 +142,15 @@ def summarize(results: dict, extractors, seeds, args) -> dict:
                 "mean_fid_rel": round(mean_rel, 4),
                 "max_abs_fid_rel": round(max(abs(r) for r in rels), 4),
                 "fid_rel_ci95": _bootstrap_ci(rels),
+                # Second aggregation (VERDICT r4): equal-weight mean of
+                # per-checkpoint relative deltas. Upweights early
+                # checkpoints relative to mean_fid_rel (which compares
+                # checkpoint-MEAN FIDs, so large-FID early points enter
+                # through their absolute delta). Both are reported; the
+                # harness's pre-registered primary is mean_fid_rel.
                 "ckpt_paired_mean_rel": round(
-                    sum(ckpt_rels) / len(ckpt_rels), 4),
+                    sum(seed_ckpt_rels) / len(seed_ckpt_rels), 4),
+                "ckpt_paired_ci95": _bootstrap_ci(seed_ckpt_rels),
                 "n_seeds": len(rels),
                 "neutral_within_5pct": bool(abs(mean_rel) <= 0.05),
                 "ci_excludes_plus_5pct": bool(_bootstrap_ci(rels)[1] < 0.05),

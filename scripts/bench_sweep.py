@@ -77,8 +77,11 @@ def main():
     step = make_lazy_stepper(cfg, phase, make_single_step)
 
     rng = np.random.RandomState(0)
-    batches = [rng.randint(0, 256, (args.batch, res, res, 3),
-                           dtype=np.uint8) for _ in range(4)]
+    # Device-resident feed, matching the trainer's Prefetcher (which
+    # device_puts batches in a worker thread off the critical path) —
+    # see the same note in bench.py::run_mode.
+    batches = [jax.device_put(rng.randint(0, 256, (args.batch, res, res, 3),
+                                          dtype=np.uint8)) for _ in range(4)]
 
     for i in range(3):
         state, metrics = step(state, batches[i % 4])
