@@ -23,8 +23,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STUB = os.path.join(REPO, "tests", "bench_child_stub.py")
 
 
-def run_parent(tmp_path, spec, cache=None, timeout=120):
-    """Run bench.py's parent with stubbed children; return (row, cache)."""
+def run_parent(tmp_path, spec, cache=None, timeout=360, child_timeout=20):
+    """Run bench.py's parent with stubbed children; return (row, cache).
+
+    The stubbed child timeout must cover a Python interpreter start under
+    a fully loaded machine (the suite once saw >5 s spawn latency while a
+    hardware A/B run was scoring, which made every 'ok' stub read as a
+    timed-out child and the parent correctly — but confusingly — serve
+    the cache). 20 s keeps the hang-salvage tests bounded (~4 attempts)
+    while being far above worst-case spawn latency.
+    """
     cache_path = os.path.join(str(tmp_path), "cache.json")
     if cache is not None:
         with open(cache_path, "w") as f:
@@ -34,7 +42,7 @@ def run_parent(tmp_path, spec, cache=None, timeout=120):
         GANLAB_BENCH_CHILD_STUB=STUB,
         GANLAB_BENCH_STUB_SPEC=json.dumps(spec),
         GANLAB_BENCH_CACHE=cache_path,
-        GANLAB_BENCH_CHILD_TIMEOUT="5",
+        GANLAB_BENCH_CHILD_TIMEOUT=str(child_timeout),
         GANLAB_BENCH_NO_COOLDOWN="1",
     )
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
@@ -67,8 +75,11 @@ def test_parent_salvages_partial_and_prefers_full_median(tmp_path):
     # 'single' hangs after streaming 2 healthy windows; 'chunked'
     # completes. A full 5-window median must outrank the salvaged
     # partial even though the partial's median is higher.
+    # 12 s child timeout: the retried hanging mode costs 4 bounded
+    # attempts; windows stream immediately after spawn, so the salvage
+    # still has >2x margin over worst observed spawn latency (~5 s).
     row, _ = run_parent(tmp_path, {"single": "hang:170,175",
-                                   "chunked": "ok:160"})
+                                   "chunked": "ok:160"}, child_timeout=12)
     assert row["dispatch"] == "chunked"
     assert row["value"] == 160.0
     assert row["stat"] == "median_of_5"
