@@ -44,12 +44,13 @@ import time
 
 V100_BASELINE_IMG_PER_SEC = 40.0
 # Two production dispatch modes, each at its measured best batch
-# (BASELINE.md sweeps r1-r3). Which one wins depends on the relay's
-# host-gap weather (r2: chunked +10-15%; late r3: single-step +15%), so
-# the child measures BOTH and the headline takes the better, with both
-# disclosed. They run the same math (equality-tested, test_chunked.py /
-# test_fused_seq.py).
-MODES = (("single", 32), ("chunked", 16))
+# (BASELINE.md sweeps r1-r3; r5 same-window dispatch & batch sweep put
+# chunked's best at b32 too — 165.3 vs 162.9 at b16). Which mode wins
+# depends on the relay's host-gap weather (r2: chunked +10-15%; late
+# r3: single-step +15%; r5 same-window: tied), so the child measures
+# BOTH and the headline takes the better, with both disclosed. They run
+# the same math (equality-tested, test_chunked.py / test_fused_seq.py).
+MODES = (("single", 32), ("chunked", 32))
 TIMED_STEPS = 32             # 2 full lazy-R1 intervals (k=16)
 # Retry budget per mode beyond the first attempt. Single-step has been
 # the faster dispatch for two consecutive rounds (BASELINE.md "chunked
