@@ -6,9 +6,9 @@
 # train.jsonl, and with a FINITE budget (schedule.total_kimg) so the run
 # terminates cleanly instead of exhausting its attempt budget.
 #
-# Budget: 24 kimg fade + 24 kimg stabilize per resolution step
-# (8 phases after the initial stabilize, 11 phases total ~ 240 kimg
-# through the schedule) + final 256^2 stabilize to total_kimg=300.
+# Budget: 16 kimg fade + 16 kimg stabilize per resolution step
+# (11 phases total ~ 184 kimg through the schedule) + final 256^2
+# stabilize to total_kimg=200.
 # Checkpoints stay on disk (gitignored) — the projector A/B
 # (scripts/project_demo_ab.py, VERDICT r4 weak #5) consumes the final one.
 set -u
@@ -19,11 +19,11 @@ for attempt in 1 2 3 4 5 6; do
   echo "=== demo attempt $attempt $(date -u +%H:%M:%S) ===" | tee -a "$WORKDIR/driver.log"
   timeout 2400 python -m ganlab_tpu.cli train --preset stylegan-256 \
     --set data.dataset=ellipses \
-    --set schedule.fade_kimg=24 --set schedule.stabilize_kimg=24 \
-    --set schedule.total_kimg=300 \
+    --set schedule.fade_kimg=16 --set schedule.stabilize_kimg=16 \
+    --set schedule.total_kimg=200 \
     --set run.sample_every=2000 --set run.checkpoint_every=4000 \
     --set run.log_every=500 \
-    --set run.eval_kimg=25 --set run.eval_samples=2048 \
+    --set run.eval_kimg=20 --set run.eval_samples=2048 \
     --workdir "$WORKDIR" >> "$WORKDIR/driver.log" 2>&1
   rc=$?
   echo "=== attempt $attempt rc=$rc ===" | tee -a "$WORKDIR/driver.log"

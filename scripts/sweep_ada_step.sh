@@ -15,7 +15,7 @@ for arm in off bc bcg; do
     bcg) EXTRA="--set aug.mode=fixed --set aug.p_init=0.5 --set aug.categories=bcg" ;;
   esac
   echo "=== arm $arm $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
-  timeout 600 python scripts/bench_sweep.py 32 16 0 --steps 32 $EXTRA \
+  timeout 1100 python scripts/bench_sweep.py 32 16 0 --steps 32 $EXTRA \
     >> "$LOG" 2>&1
   echo "=== arm $arm rc=$? ===" | tee -a "$LOG"
 done
