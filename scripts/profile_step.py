@@ -86,7 +86,7 @@ def main():
     args = ap.parse_args()
 
     if args.parse_only:
-        summarize_xplane(args.logdir)
+        summarize_xplane(args.logdir, nsteps=args.steps)
         return
 
     import jax
@@ -134,7 +134,7 @@ def main():
     float(np.asarray(metrics["d_loss"]))
     jax.profiler.stop_trace()
     print(json.dumps({"profiled_steps": args.steps, "logdir": args.logdir}))
-    summarize_xplane(args.logdir)
+    summarize_xplane(args.logdir, nsteps=args.steps)
 
 
 if __name__ == "__main__":
